@@ -1,0 +1,101 @@
+"""Assigner/sampler semantics vs the reference MaxIoUAssigner/RandomSampler."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from unsupervised_domain_adaptation_object_detection_implementation_tpu.core.bbox import (
+    max_iou_assign, random_sample)
+
+
+def _pad_gts(gts, labels, max_gt=8):
+    g = np.zeros((max_gt, 4), np.float32)
+    l = np.zeros((max_gt,), np.int32)
+    v = np.zeros((max_gt,), bool)
+    if len(gts):
+        g[:len(gts)] = gts
+        l[:len(labels)] = labels
+    v[:len(gts)] = True
+    return jnp.asarray(g), jnp.asarray(l), jnp.asarray(v)
+
+
+def test_assign_pos_neg_ignore():
+    priors = jnp.array([
+        [0, 0, 10, 10],     # iou 1.0 with gt0 -> pos
+        [0, 0, 20, 20],     # iou 0.25 with gt0 -> ignore band [0.3? no 0.25<0.3 -> neg]
+        [100, 100, 110, 110],  # iou 0 -> neg
+        [0, 0, 12, 12],     # iou ~0.69 -> in (0.3, 0.7) -> ignored (-1)
+    ], jnp.float32)
+    g, l, v = _pad_gts([[0, 0, 10, 10]], [2])
+    res = max_iou_assign(priors, g, v, l, pos_iou_thr=0.7, neg_iou_thr=0.3,
+                         min_pos_iou=0.3, match_low_quality=False)
+    assigned = np.asarray(res.assigned_gt_inds)
+    assert assigned[0] == 1
+    assert assigned[1] == 0
+    assert assigned[2] == 0
+    assert assigned[3] == -1
+    assert np.asarray(res.labels)[0] == 2
+
+
+def test_assign_low_quality_match():
+    # no prior reaches pos_iou_thr for gt, but low-quality match claims best
+    priors = jnp.array([[0, 0, 8, 8], [50, 50, 60, 60]], jnp.float32)
+    g, l, v = _pad_gts([[0, 0, 16, 16]], [0])
+    res = max_iou_assign(priors, g, v, l, pos_iou_thr=0.9, neg_iou_thr=0.2,
+                         min_pos_iou=0.2, match_low_quality=True)
+    assigned = np.asarray(res.assigned_gt_inds)
+    assert assigned[0] == 1  # claimed by gt despite iou < pos_thr
+    assert assigned[1] == 0
+
+
+def test_assign_no_gt_all_negative():
+    priors = jnp.array([[0, 0, 10, 10]], jnp.float32)
+    g, l, v = _pad_gts([], [])
+    res = max_iou_assign(priors, g, v, l)
+    assert np.asarray(res.assigned_gt_inds)[0] == 0
+
+
+def test_assign_prior_valid_mask():
+    priors = jnp.array([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+    g, l, v = _pad_gts([[0, 0, 10, 10]], [0])
+    res = max_iou_assign(priors, g, v, l,
+                         prior_valid=jnp.array([True, False]))
+    assigned = np.asarray(res.assigned_gt_inds)
+    assert assigned[0] == 1 and assigned[1] == -1
+
+
+def test_random_sample_quotas():
+    rng = jax.random.PRNGKey(0)
+    # 10 pos, 500 neg, 20 ignored
+    assigned = jnp.concatenate([
+        jnp.full((10,), 1), jnp.zeros((500,), jnp.int32),
+        jnp.full((20,), -1)]).astype(jnp.int32)
+    res = random_sample(rng, assigned, num=256, pos_fraction=0.5)
+    is_pos = np.asarray(res.is_pos)
+    valid = np.asarray(res.valid)
+    assert valid.sum() == 256
+    assert is_pos[valid].sum() == 10  # all positives kept (fewer than 128)
+    # negatives fill the remainder
+    assert (~is_pos[valid]).sum() == 246
+    # ignored never sampled
+    sampled = np.asarray(res.inds)[valid]
+    assert np.all(np.asarray(assigned)[sampled] >= 0)
+
+
+def test_random_sample_pos_cap():
+    rng = jax.random.PRNGKey(1)
+    assigned = jnp.concatenate([
+        jnp.full((300,), 1), jnp.zeros((300,), jnp.int32)]).astype(jnp.int32)
+    res = random_sample(rng, assigned, num=256, pos_fraction=0.25)
+    valid = np.asarray(res.valid)
+    is_pos = np.asarray(res.is_pos)
+    assert valid.sum() == 256
+    assert is_pos[valid].sum() == 64  # exactly num * pos_fraction
+
+
+def test_random_sample_not_enough_total():
+    rng = jax.random.PRNGKey(2)
+    assigned = jnp.array([1, 0, 0, -1], jnp.int32)
+    res = random_sample(rng, assigned, num=8, pos_fraction=0.5)
+    valid = np.asarray(res.valid)
+    assert valid.sum() == 3  # 1 pos + 2 neg available

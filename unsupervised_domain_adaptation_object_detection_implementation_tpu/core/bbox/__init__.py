@@ -1,0 +1,9 @@
+from .iou import bbox_overlaps, bbox_area
+from .transforms import (delta2bbox, bbox2delta, clip_boxes, flip_boxes,
+                         bbox2result)
+from .assigners import max_iou_assign, AssignResult
+from .samplers import random_sample, SampleResult
+
+__all__ = ['bbox_overlaps', 'bbox_area', 'delta2bbox', 'bbox2delta',
+           'clip_boxes', 'flip_boxes', 'bbox2result', 'max_iou_assign',
+           'AssignResult', 'random_sample', 'SampleResult']

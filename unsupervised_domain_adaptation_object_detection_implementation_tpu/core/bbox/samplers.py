@@ -1,0 +1,78 @@
+"""Static-shape random pos/neg sampling.
+
+Equivalent of the reference `RandomSampler`
+(`mmdet/core/bbox/samplers/random_sampler.py:9`): sample up to
+`num * pos_fraction` positives and fill the rest with negatives. The ragged
+index lists become rank-based masks: every candidate gets a random priority,
+per-group ranks are computed with two argsorts, and selection is a comparison
+against the (traced) group quota — fully static shapes, exact quota semantics.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SampleResult(NamedTuple):
+    inds: jnp.ndarray        # (num,) int32 indices into candidates
+    is_pos: jnp.ndarray      # (num,) bool
+    valid: jnp.ndarray       # (num,) bool — slot holds a real sample
+    pos_mask: jnp.ndarray    # (N,) bool over candidates
+    neg_mask: jnp.ndarray    # (N,) bool over candidates
+
+
+def _rank_among(mask: jnp.ndarray, priority: jnp.ndarray) -> jnp.ndarray:
+    """0-based rank of each element among `mask` entries by desc priority.
+
+    Non-members get a rank >= count(mask).
+    """
+    key = jnp.where(mask, priority, -jnp.inf)
+    order = jnp.argsort(-key)
+    ranks = jnp.zeros_like(order).at[order].set(jnp.arange(order.shape[0]))
+    return ranks
+
+
+def random_sample(rng: jax.Array,
+                  assigned_gt_inds: jnp.ndarray,
+                  num: int,
+                  pos_fraction: float,
+                  neg_pos_ub: int = -1) -> SampleResult:
+    """Sample `num` slots from assignment results.
+
+    Positives = assigned > 0, negatives = assigned == 0 (mmdet convention).
+    Exactly min(count_pos, num*pos_fraction) positives are chosen uniformly;
+    negatives fill the remaining quota uniformly.
+    """
+    n = assigned_gt_inds.shape[0]
+    pos = assigned_gt_inds > 0
+    neg = assigned_gt_inds == 0
+    r = jax.random.uniform(rng, (n,))
+
+    num_expected_pos = int(num * pos_fraction)
+    pos_rank = _rank_among(pos, r)
+    pos_sel = pos & (pos_rank < num_expected_pos)
+    num_pos = jnp.sum(pos_sel)
+
+    neg_quota = num - num_pos
+    if neg_pos_ub >= 0:
+        neg_quota = jnp.minimum(neg_quota, jnp.maximum(num_pos, 1) * neg_pos_ub)
+    neg_rank = _rank_among(neg, r)
+    neg_sel = neg & (neg_rank < neg_quota)
+
+    selected = pos_sel | neg_sel
+    # fixed-size index extraction: positives first, then negatives, then junk
+    sort_key = jnp.where(pos_sel, 3.0, jnp.where(neg_sel, 2.0, 0.0)) + r
+    k = min(num, n)
+    _, inds = jax.lax.top_k(sort_key, k)
+    inds = inds.astype(jnp.int32)
+    is_pos = pos_sel[inds]
+    valid = selected[inds]
+    if k < num:  # fewer candidates than slots: zero-pad (masked invalid)
+        pad = num - k
+        inds = jnp.concatenate([inds, jnp.zeros((pad,), inds.dtype)])
+        is_pos = jnp.concatenate([is_pos, jnp.zeros((pad,), bool)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return SampleResult(inds, is_pos, valid, pos_sel, neg_sel)

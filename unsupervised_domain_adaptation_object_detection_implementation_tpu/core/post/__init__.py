@@ -1,0 +1,3 @@
+from .nms import nms, nms_select, batched_nms, multiclass_nms
+
+__all__ = ['nms', 'nms_select', 'batched_nms', 'multiclass_nms']
