@@ -1,0 +1,7 @@
+from .transforms import (LoadImageFromFile, LoadAnnotations, Resize,
+                         RandomFlip, Normalize, Pad, PhotoMetricDistortion,
+                         PackDetInputs, Compose)
+
+__all__ = ['LoadImageFromFile', 'LoadAnnotations', 'Resize', 'RandomFlip',
+           'Normalize', 'Pad', 'PhotoMetricDistortion', 'PackDetInputs',
+           'Compose']

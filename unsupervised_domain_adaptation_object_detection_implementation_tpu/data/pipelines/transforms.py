@@ -1,0 +1,279 @@
+"""Host-side data pipeline transforms (numpy).
+
+Equivalent of the reference pipeline stages
+(`mmdet/datasets/pipelines/loading.py`, `transforms.py`, `formating.py`)
+re-designed for the static-shape TPU batch layout: the pipeline ends in a
+fixed canvas (`PadToCanvas`) and fixed-size gt blocks (`PackDetInputs`), so
+every batch has identical shapes and the jitted train step never recompiles.
+
+Each transform is a callable on a `results` dict with keys:
+    img (H, W, 3 uint8/f32, RGB), img_shape, ori_shape, scale_factor,
+    gt_bboxes (n, 4 xyxy), gt_labels (n,), flip, domain (optional)
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from ...utils.registry import PIPELINES
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+
+def _imread(path: str) -> np.ndarray:
+    """Read an image as RGB uint8."""
+    if _HAS_CV2:
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        return img[..., ::-1]  # BGR → RGB
+    from PIL import Image
+    return np.asarray(Image.open(path).convert('RGB'))
+
+
+def _imresize(img: np.ndarray, size_wh: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize to (w, h)."""
+    if _HAS_CV2:
+        return cv2.resize(img, size_wh, interpolation=cv2.INTER_LINEAR)
+    from PIL import Image
+    return np.asarray(Image.fromarray(img).resize(size_wh, Image.BILINEAR))
+
+
+@PIPELINES.register_module()
+class LoadImageFromFile:
+    """Reference `LoadImageFromFile` (`pipelines/loading.py:18`), RGB layout."""
+
+    def __init__(self, to_float32: bool = False):
+        self.to_float32 = to_float32
+
+    def __call__(self, results):
+        path = results['img_info']['filename']
+        prefix = results.get('img_prefix')
+        if prefix:
+            path = osp.join(prefix, path)
+        img = _imread(path)
+        if self.to_float32:
+            img = img.astype(np.float32)
+        results['filename'] = path
+        results['img'] = img
+        results['img_shape'] = img.shape[:2]
+        results['ori_shape'] = img.shape[:2]
+        return results
+
+
+@PIPELINES.register_module()
+class LoadAnnotations:
+    """Reference `LoadAnnotations` (`pipelines/loading.py:202`), bbox only."""
+
+    def __init__(self, with_bbox: bool = True, with_label: bool = True):
+        self.with_bbox = with_bbox
+        self.with_label = with_label
+
+    def __call__(self, results):
+        ann = results['ann_info']
+        if self.with_bbox:
+            results['gt_bboxes'] = ann['bboxes'].astype(np.float32).reshape(-1, 4)
+            if ann.get('bboxes_ignore') is not None:
+                results['gt_bboxes_ignore'] = \
+                    ann['bboxes_ignore'].astype(np.float32).reshape(-1, 4)
+        if self.with_label:
+            results['gt_labels'] = ann['labels'].astype(np.int64).reshape(-1)
+        return results
+
+
+@PIPELINES.register_module()
+class Resize:
+    """Keep-ratio resize to fit inside `img_scale` (reference `Resize`,
+    `pipelines/transforms.py:30` with keep_ratio=True).
+
+    `img_scale` is (long_edge, short_edge) — mmdet convention: the scale
+    factor is min(long/max_side, short/min_side), never upscaling beyond it.
+    """
+
+    def __init__(self, img_scale: Tuple[int, int], keep_ratio: bool = True):
+        self.img_scale = img_scale
+        self.keep_ratio = keep_ratio
+
+    def __call__(self, results):
+        h, w = results['img'].shape[:2]
+        long_edge, short_edge = max(self.img_scale), min(self.img_scale)
+        if self.keep_ratio:
+            scale = min(long_edge / max(h, w), short_edge / min(h, w))
+            new_w, new_h = int(w * scale + 0.5), int(h * scale + 0.5)
+        else:
+            new_w, new_h = self.img_scale
+        img = _imresize(results['img'], (new_w, new_h))
+        w_scale = new_w / w
+        h_scale = new_h / h
+        results['img'] = img
+        results['img_shape'] = img.shape[:2]
+        results['scale_factor'] = np.array(
+            [w_scale, h_scale, w_scale, h_scale], np.float32)
+        if 'gt_bboxes' in results:
+            boxes = results['gt_bboxes'] * results['scale_factor']
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, new_w)
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, new_h)
+            results['gt_bboxes'] = boxes
+        return results
+
+
+@PIPELINES.register_module()
+class RandomFlip:
+    """Horizontal flip with probability `flip_ratio`
+    (reference `pipelines/transforms.py:323`)."""
+
+    def __init__(self, flip_ratio: float = 0.5):
+        self.flip_ratio = flip_ratio
+
+    def __call__(self, results):
+        rng: np.random.RandomState = results.get('_rng', np.random)
+        flip = bool(rng.rand() < self.flip_ratio)
+        results['flip'] = flip
+        if flip:
+            results['img'] = results['img'][:, ::-1]
+            if 'gt_bboxes' in results:
+                h, w = results['img_shape']
+                boxes = results['gt_bboxes'].copy()
+                boxes[:, 0] = w - results['gt_bboxes'][:, 2]
+                boxes[:, 2] = w - results['gt_bboxes'][:, 0]
+                results['gt_bboxes'] = boxes
+        return results
+
+
+@PIPELINES.register_module()
+class Normalize:
+    """Mean/std normalize (reference `pipelines/transforms.py:669`).
+
+    Defaults are the torchvision/ImageNet RGB stats used by every DA config
+    (`da_configs/_base_/datasets/c2foggy.py:4-5`).
+    """
+
+    def __init__(self, mean=(123.675, 116.28, 103.53),
+                 std=(58.395, 57.12, 57.375), to_rgb: bool = True):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        # images are loaded RGB already; to_rgb kept for config compatibility
+        self.to_rgb = to_rgb
+
+    def __call__(self, results):
+        img = results['img'].astype(np.float32)
+        results['img'] = (img - self.mean) / self.std
+        results['img_norm_cfg'] = dict(mean=self.mean, std=self.std)
+        return results
+
+
+@PIPELINES.register_module()
+class Pad:
+    """Pad to `size_divisor` or a fixed `size` (h, w)
+    (reference `pipelines/transforms.py:570`)."""
+
+    def __init__(self, size: Optional[Tuple[int, int]] = None,
+                 size_divisor: Optional[int] = None, pad_val: float = 0.0):
+        assert (size is None) != (size_divisor is None)
+        self.size = size
+        self.size_divisor = size_divisor
+        self.pad_val = pad_val
+
+    def __call__(self, results):
+        img = results['img']
+        h, w = img.shape[:2]
+        if self.size_divisor:
+            th = int(np.ceil(h / self.size_divisor)) * self.size_divisor
+            tw = int(np.ceil(w / self.size_divisor)) * self.size_divisor
+        else:
+            th, tw = self.size
+        padded = np.full((th, tw) + img.shape[2:], self.pad_val, img.dtype)
+        padded[:h, :w] = img
+        results['img'] = padded
+        results['pad_shape'] = (th, tw)
+        return results
+
+
+@PIPELINES.register_module()
+class PhotoMetricDistortion:
+    """Brightness/contrast/saturation/hue jitter
+    (reference `pipelines/transforms.py:938`), numpy implementation."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
+        self.brightness_delta = brightness_delta
+        self.contrast_range = contrast_range
+        self.saturation_range = saturation_range
+        self.hue_delta = hue_delta
+
+    def __call__(self, results):
+        rng: np.random.RandomState = results.get('_rng', np.random)
+        img = results['img'].astype(np.float32)
+        if rng.randint(2):
+            img += rng.uniform(-self.brightness_delta, self.brightness_delta)
+        if rng.randint(2):
+            img *= rng.uniform(*self.contrast_range)
+        # saturation via luminance mix (avoids HSV conversion cost)
+        if rng.randint(2):
+            gray = img.mean(axis=2, keepdims=True)
+            alpha = rng.uniform(*self.saturation_range)
+            img = gray + (img - gray) * alpha
+        results['img'] = np.clip(img, 0, 255)
+        return results
+
+
+@PIPELINES.register_module()
+class PackDetInputs:
+    """Terminal stage: fixed-size arrays for device transfer.
+
+    Replaces the reference's `DefaultFormatBundle`+`Collect`
+    (`pipelines/formating.py:175,266`): instead of DataContainers carrying
+    ragged tensors, gts are padded to `max_gt` with a validity mask and all
+    meta becomes fixed-size numeric arrays.
+    """
+
+    def __init__(self, max_gt: int = 100):
+        self.max_gt = max_gt
+
+    def __call__(self, results):
+        img = results['img'].astype(np.float32)
+        n = min(len(results.get('gt_labels', [])), self.max_gt)
+        gt_bboxes = np.zeros((self.max_gt, 4), np.float32)
+        gt_labels = np.zeros((self.max_gt,), np.int32)
+        gt_valid = np.zeros((self.max_gt,), bool)
+        if n:
+            gt_bboxes[:n] = results['gt_bboxes'][:n]
+            gt_labels[:n] = results['gt_labels'][:n]
+            gt_valid[:n] = True
+        return dict(
+            image=img,
+            img_shape=np.asarray(results['img_shape'], np.int32),
+            ori_shape=np.asarray(results['ori_shape'], np.int32),
+            scale_factor=results.get(
+                'scale_factor', np.ones((4,), np.float32)),
+            flip=np.asarray(results.get('flip', False)),
+            gt_bboxes=gt_bboxes,
+            gt_labels=gt_labels,
+            gt_valid=gt_valid,
+            domain=np.asarray(results.get('domain', 0), np.int32),
+        )
+
+
+@PIPELINES.register_module()
+class Compose:
+    """Chain of transforms (reference `pipelines/compose.py:10`)."""
+
+    def __init__(self, transforms):
+        from ...utils.registry import PIPELINES as REG
+        self.transforms = [
+            t if callable(t) else REG.build(t) for t in transforms
+        ]
+
+    def __call__(self, results):
+        for t in self.transforms:
+            results = t(results)
+            if results is None:
+                return None
+        return results

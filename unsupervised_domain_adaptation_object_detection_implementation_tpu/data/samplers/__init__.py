@@ -1,0 +1,3 @@
+from .two_stream import TwoStreamBatchSampler, GroupBatchSampler
+
+__all__ = ['TwoStreamBatchSampler', 'GroupBatchSampler']
