@@ -1,0 +1,3 @@
+# DAFasterRCNN_Tri variant (reference da_configs/_base_/models/faster_rcnn_r50_torch_tri.py)
+_base_ = ['faster_rcnn_r50_daf_c2f.py']
+model = dict(type='DAFasterRCNN_Tri')

@@ -8,7 +8,9 @@ Must run before jax initializes its backends, hence env vars at import time.
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Force, don't setdefault: the ambient environment pins JAX_PLATFORMS to the
+# axon TPU tunnel; unit tests must run on the virtual CPU mesh regardless.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (

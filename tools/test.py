@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference `tools/test.py`): checkpoint → dataset metrics."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from unsupervised_domain_adaptation_object_detection_implementation_tpu.apis import (  # noqa: E402
+    evaluate_dataset)
+from unsupervised_domain_adaptation_object_detection_implementation_tpu.data import (  # noqa: E402
+    build_dataset)
+from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.builder import (  # noqa: E402
+    build_detector)
+from unsupervised_domain_adaptation_object_detection_implementation_tpu.utils import (  # noqa: E402
+    Config, load_checkpoint)
+from unsupervised_domain_adaptation_object_detection_implementation_tpu.utils.config import (  # noqa: E402
+    parse_option_value)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description='Test a detector')
+    p.add_argument('config')
+    p.add_argument('checkpoint', nargs='?', default=None)
+    p.add_argument('--eval', default='mAP', help='mAP | recall | bbox')
+    p.add_argument('--samples-per-batch', type=int, default=2)
+    p.add_argument('--cfg-options', nargs='+', default=[])
+    args = p.parse_args(argv)
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict({
+            kv.split('=', 1)[0]: parse_option_value(kv.split('=', 1)[1])
+            for kv in args.cfg_options})
+    model = build_detector(cfg.model)
+    dataset = build_dataset(dict(cfg.data['test'], test_mode=True))
+
+    sample = dataset[0]
+    dummy = {k: jnp.asarray(v)[None] for k, v in sample.items()}
+    k = jax.random.PRNGKey(0)
+    variables = model.init({'params': k, 'sampler': k, 'dropout': k}, dummy,
+                           train=True)
+    if args.checkpoint:
+        state = load_checkpoint(args.checkpoint)
+        variables = {'params': state['params'],
+                     'batch_stats': state['batch_stats']}
+        print(f'[test] loaded {args.checkpoint}')
+    else:
+        print('[test] WARNING: no checkpoint — random weights')
+
+    metrics = evaluate_dataset(model, variables, dataset,
+                               samples_per_batch=args.samples_per_batch,
+                               metric=args.eval)
+    print('metrics:', {k_: round(float(v), 4) for k_, v in metrics.items()})
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Supervised training CLI (reference `tools/train.py`)."""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+from unsupervised_domain_adaptation_object_detection_implementation_tpu.apis import (  # noqa: E402
+    train_detector)
+from unsupervised_domain_adaptation_object_detection_implementation_tpu.utils import (  # noqa: E402
+    Config)
+from unsupervised_domain_adaptation_object_detection_implementation_tpu.utils.config import (  # noqa: E402
+    parse_option_value)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description='Train a detector')
+    p.add_argument('config', help='config file path')
+    p.add_argument('--work-dir', default=None)
+    p.add_argument('--resume-from', default=None)
+    p.add_argument('--load-from', default=None)
+    p.add_argument('--pretrained-backbone', default=None,
+                   help='torch .pth with torchvision-R50 weights')
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--max-epochs', type=int, default=None)
+    p.add_argument('--n-devices', type=int, default=None)
+    p.add_argument('--cfg-options', nargs='+', default=[],
+                   help='dotted config overrides: key=value')
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict({
+            kv.split('=', 1)[0]: parse_option_value(kv.split('=', 1)[1])
+            for kv in args.cfg_options})
+    work_dir = args.work_dir or os.path.join(
+        'work_dirs', os.path.splitext(os.path.basename(args.config))[0])
+    os.makedirs(work_dir, exist_ok=True)
+    cfg.dump(os.path.join(work_dir, 'config.py'))
+    metrics = train_detector(
+        cfg, work_dir, resume_from=args.resume_from, load_from=args.load_from,
+        pretrained_backbone=args.pretrained_backbone, seed=args.seed,
+        max_epochs=args.max_epochs, n_devices=args.n_devices,
+        log_interval=cfg.get('log_config', {}).get('interval', 50))
+    print('final metrics:', metrics)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,149 @@
+"""Training loop (reference `mmdet/apis/train.py:71` train_detector +
+`tools/DA_train.py:184` DA flow, without the runner/hook machinery).
+
+The loop is thin by design: data iteration, the jitted train step, periodic
+logging (JSON lines, the reference's `.log.json` equivalent), epoch-end
+evaluation (`EvalHook`), and orbax checkpoints (`CheckpointHook`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data import DataLoader, build_dataset
+from ..models.builder import build_detector
+from ..parallel import make_mesh, replicate_state, shard_batch
+from ..utils.checkpoint import (latest_checkpoint, load_checkpoint,
+                                load_pretrained_backbone, save_checkpoint)
+from .test import evaluate_dataset
+from .train_state import (OptimizerSpec, create_train_state, make_train_step)
+
+
+def init_random_seed(seed: Optional[int]) -> int:
+    return int(seed) if seed is not None else int(time.time()) % 2**31
+
+
+def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
+                   load_from: Optional[str] = None,
+                   pretrained_backbone: Optional[str] = None,
+                   seed: int = 0, log_interval: int = 50,
+                   max_epochs: Optional[int] = None,
+                   eval_interval: int = 1,
+                   checkpoint_interval: int = 1,
+                   n_devices: Optional[int] = None) -> Dict[str, float]:
+    """Config-driven training. Returns the last eval metrics."""
+    os.makedirs(work_dir, exist_ok=True)
+    log_path = os.path.join(work_dir, 'train_log.jsonl')
+
+    model = build_detector(cfg.model)
+    train_ds = build_dataset(cfg.data['train'])
+    samples_per_batch = cfg.data.get('samples_per_gpu', 2)
+    mesh = make_mesh(n_devices)
+    n_dev = mesh.devices.size
+    global_batch = samples_per_batch * n_dev
+    loader = DataLoader(train_ds, global_batch, seed=seed)
+
+    # optimizer spec from cfg
+    opt_cfg = cfg.get('optimizer', {})
+    lr_cfg = cfg.get('lr_config', {}) or {}
+    runner_cfg = cfg.get('runner', {}) or {}
+    eval_interval = (cfg.get('evaluation', {}) or {}).get(
+        'interval', eval_interval)
+    checkpoint_interval = (cfg.get('checkpoint_config', {}) or {}).get(
+        'interval', checkpoint_interval)
+    epochs = max_epochs or runner_cfg.get('max_epochs', 12)
+    steps_per_epoch = len(loader)
+    step_cfg = lr_cfg.get('step', [])
+    if isinstance(step_cfg, (int, float)):
+        step_cfg = [step_cfg]
+    milestones = tuple(int(m) * steps_per_epoch for m in step_cfg)
+    spec = OptimizerSpec(
+        lr=opt_cfg.get('lr', 1e-3),
+        momentum=opt_cfg.get('momentum', 0.9),
+        weight_decay=opt_cfg.get('weight_decay', 5e-4),
+        warmup_iters=lr_cfg.get('warmup_iters', 500),
+        warmup_ratio=lr_cfg.get('warmup_ratio', 1e-4),
+        decay_steps=milestones,
+        grad_clip=(cfg.get('optimizer_config', {}) or {}).get(
+            'grad_clip', None))
+
+    # init
+    rng = jax.random.PRNGKey(seed)
+    sample_batch = next(iter(loader))
+    import jax.numpy as jnp
+    jb = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+    variables = model.init({'params': rng, 'sampler': rng, 'dropout': rng},
+                           jb, train=True)
+    if pretrained_backbone:
+        variables = load_pretrained_backbone(variables, pretrained_backbone)
+    frozen = cfg.model.get('backbone', {}).get('frozen_stages', 1) \
+        if hasattr(cfg.model, 'get') else 1
+    state, tx = create_train_state(model, variables, spec,
+                                   frozen_stages=frozen)
+
+    start_epoch = 0
+    if resume_from:
+        path = latest_checkpoint(work_dir) if resume_from == 'auto' \
+            else resume_from
+        if path:
+            restored = load_checkpoint(path, jax.device_get(state))
+            state = jax.tree_util.tree_map(jnp.asarray, restored)
+            start_epoch = int(state.step) // max(steps_per_epoch, 1)
+            print(f'[train] resumed from {path} (epoch {start_epoch})')
+    elif load_from:
+        restored = load_checkpoint(load_from, jax.device_get(state))
+        state = state._replace(params=restored.params,
+                               batch_stats=restored.batch_stats)
+        print(f'[train] loaded weights from {load_from}')
+
+    step_fn = jax.jit(make_train_step(model, tx), donate_argnums=0)
+    with mesh:
+        state = replicate_state(state, mesh)
+        metrics_out: Dict[str, float] = {}
+        log_f = open(log_path, 'a')
+        step_rng = jax.random.PRNGKey(seed + 1)
+        for epoch in range(start_epoch, epochs):
+            t_epoch = time.time()
+            for it, batch in enumerate(loader):
+                sb = shard_batch(batch, mesh)
+                state, metrics = step_fn(state, sb, step_rng)
+                if (it + 1) % log_interval == 0 or it + 1 == steps_per_epoch:
+                    m = {k: float(v) for k, v in
+                         jax.device_get(metrics).items()}
+                    rec = dict(mode='train', epoch=epoch + 1, iter=it + 1,
+                               **{k: round(v, 5) for k, v in m.items()})
+                    print(f'[train] {rec}')
+                    log_f.write(json.dumps(rec) + '\n')
+                    log_f.flush()
+            print(f'[train] epoch {epoch + 1} done in '
+                  f'{time.time() - t_epoch:.1f}s')
+            if (epoch + 1) % checkpoint_interval == 0 or epoch + 1 == epochs:
+                save_checkpoint(
+                    os.path.join(work_dir, f'ckpt_{epoch + 1}'),
+                    jax.device_get(state),
+                    meta=dict(epoch=epoch + 1, classes=list(
+                        getattr(train_ds, 'CLASSES', []))))
+            if 'val' in cfg.data and (epoch + 1) % eval_interval == 0:
+                if not hasattr(train_detector, '_val_cache') or \
+                        train_detector._val_cache[0] is not cfg:
+                    train_detector._val_cache = (
+                        cfg, build_dataset(cfg.data['val']))
+                val_ds = train_detector._val_cache[1]
+                metrics_out = evaluate_dataset(
+                    model, {'params': state.params,
+                            'batch_stats': state.batch_stats},
+                    val_ds, samples_per_batch=global_batch, mesh=mesh)
+                rec = dict(mode='val', epoch=epoch + 1,
+                           **{k: round(float(v), 4)
+                              for k, v in metrics_out.items()})
+                print(f'[eval] {rec}')
+                log_f.write(json.dumps(rec) + '\n')
+                log_f.flush()
+        log_f.close()
+    return metrics_out

@@ -1,0 +1,145 @@
+"""Train state, optimizer, LR schedule and the jitted train step.
+
+Replaces the reference's mmcv runner/hook/optimizer stack
+(`apis/train.py:127-203`: SGD build, EpochBasedRunner, LrUpdaterHook,
+OptimizerHook) with a single functional train step: forward (all losses) →
+grad → SGD update, compiled as ONE XLA program. Parallelism needs no extra
+code — with the batch sharded over a `Mesh` data axis and params replicated,
+XLA inserts the gradient all-reduce over ICI automatically (SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+class OptimizerSpec(NamedTuple):
+    """Reference schedule: SGD lr=1e-3 mom=0.9 wd=5e-4, linear warmup 500
+    iters ratio 1e-4, step decay ×0.1 at epoch milestones
+    (`da_configs/faster_rcnn/faster_rcnn_r50_daf_c2f.py:7-21`)."""
+    lr: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    warmup_iters: int = 500
+    warmup_ratio: float = 1e-4
+    decay_steps: Tuple[int, ...] = ()      # absolute iteration milestones
+    decay_factor: float = 0.1
+    grad_clip: Optional[float] = None
+
+
+def make_lr_schedule(spec: OptimizerSpec) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm_frac = jnp.clip(step / jnp.maximum(spec.warmup_iters, 1), 0, 1)
+        warm = spec.warmup_ratio + (1 - spec.warmup_ratio) * warm_frac
+        decay = spec.decay_factor ** jnp.sum(
+            jnp.asarray([step >= m for m in spec.decay_steps], jnp.float32)) \
+            if spec.decay_steps else 1.0
+        return spec.lr * warm * decay
+    return schedule
+
+
+def frozen_mask(params, frozen_stages: int, extra_frozen=()) -> Any:
+    """True = trainable. Masks the stem + first `frozen_stages` res stages
+    (the reference's `_freeze_stages`, e.g. `resnet_da_cbam.py:905-920`) so
+    neither gradients nor weight decay touch them."""
+    frozen_prefixes = []
+    if frozen_stages >= 0:
+        frozen_prefixes += ['conv1', 'bn1']
+        frozen_prefixes += [f'layer{i}/' for i in range(1, frozen_stages + 1)]
+    frozen_prefixes += list(extra_frozen)
+
+    def is_trainable(path) -> bool:
+        keys = [k.key for k in path if hasattr(k, 'key')]
+        # only match the key DIRECTLY under the trunk module — block-internal
+        # conv1/bn1 submodules must not be caught by the stem prefixes
+        for i, part in enumerate(keys):
+            if part in ('trunk', 'backbone') and i + 1 < len(keys):
+                nxt = keys[i + 1]
+                if nxt == 'trunk':
+                    continue
+                if any(nxt == p or nxt.startswith(p)
+                       for p in frozen_prefixes):
+                    return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: is_trainable(path), params)
+
+
+def make_optimizer(spec: OptimizerSpec, params=None, frozen_stages: int = -1
+                   ) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(spec)
+    chain = []
+    if spec.grad_clip:
+        chain.append(optax.clip_by_global_norm(spec.grad_clip))
+    chain += [
+        optax.add_decayed_weights(spec.weight_decay),
+        optax.sgd(learning_rate=schedule, momentum=spec.momentum),
+    ]
+    tx = optax.chain(*chain)
+    if params is not None and frozen_stages >= 0:
+        # NOTE: optax.masked would pass the RAW gradient through for
+        # non-masked leaves; multi_transform + set_to_zero gives frozen
+        # leaves a true zero update.
+        mask = frozen_mask(params, frozen_stages)
+        labels = jax.tree_util.tree_map(
+            lambda t: 'train' if t else 'freeze', mask)
+        tx = optax.multi_transform(
+            {'train': tx, 'freeze': optax.set_to_zero()}, labels)
+    return tx
+
+
+def create_train_state(model, variables, spec: OptimizerSpec,
+                       frozen_stages: int = -1) -> Tuple[TrainState,
+                                                         optax.GradientTransformation]:
+    params = variables['params']
+    batch_stats = variables.get('batch_stats', {})
+    tx = make_optimizer(spec, params, frozen_stages)
+    opt_state = tx.init(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, batch_stats,
+                      opt_state), tx
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    loss_aggregate: str = 'sum') -> Callable:
+    """Build the pure (state, batch, rng) → (state, metrics) step.
+
+    The returned function is jit-compatible; under a Mesh with the batch
+    sharded on 'data', gradients are automatically psum-reduced by XLA.
+    """
+
+    def step_fn(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        rng_sampler, rng_dropout = jax.random.split(
+            jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            out, new_vars = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch, train=True,
+                rngs={'sampler': rng_sampler, 'dropout': rng_dropout},
+                mutable=['batch_stats'])
+            total = sum(out.values())
+            return total, (out, new_vars.get('batch_stats', state.batch_stats))
+
+        (total, (loss_dict, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(loss=total, **loss_dict)
+        return TrainState(state.step + 1, new_params, new_stats, new_opt), \
+            metrics
+
+    return step_fn

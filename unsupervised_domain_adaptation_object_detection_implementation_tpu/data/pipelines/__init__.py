@@ -1,7 +1,7 @@
 from .transforms import (LoadImageFromFile, LoadAnnotations, Resize,
                          RandomFlip, Normalize, Pad, PhotoMetricDistortion,
-                         PackDetInputs, Compose)
+                         PackDetInputs, Compose, MultiScaleFlipAug)
 
 __all__ = ['LoadImageFromFile', 'LoadAnnotations', 'Resize', 'RandomFlip',
            'Normalize', 'Pad', 'PhotoMetricDistortion', 'PackDetInputs',
-           'Compose']
+           'Compose', 'MultiScaleFlipAug']

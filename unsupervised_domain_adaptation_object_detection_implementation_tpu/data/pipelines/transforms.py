@@ -262,6 +262,28 @@ class PackDetInputs:
 
 
 @PIPELINES.register_module()
+class MultiScaleFlipAug:
+    """Test-time wrapper (reference `pipelines/test_time_aug.py:11`).
+
+    The DA configs use it with a single scale and flip=False — i.e. a plain
+    test pipeline — which is what this implements. True multi-scale/flip TTA
+    (list outputs + `merge_aug_bboxes`) is not yet supported; configs
+    requesting it fail loudly rather than silently evaluating single-scale.
+    """
+
+    def __init__(self, transforms, img_scale=None, flip=False,
+                 scale_factor=None):
+        if flip or (isinstance(img_scale, list) and len(img_scale) > 1):
+            raise NotImplementedError(
+                'multi-scale/flip TTA not supported yet; use a single scale '
+                'with flip=False')
+        self.inner = Compose(transforms)
+
+    def __call__(self, results):
+        return self.inner(results)
+
+
+@PIPELINES.register_module()
 class Compose:
     """Chain of transforms (reference `pipelines/compose.py:10`)."""
 

@@ -1,0 +1,11 @@
+from .builder import build_detector
+from . import losses  # noqa: F401
+from .backbones.resnet import ResNet
+from .backbones.da_resnet import DAResNet, Tap, VARIANT_TAPS
+from .dense_heads.rpn_head import RPNHead
+from .roi_heads.bbox_head import Shared2FCBBoxHead
+from .detectors.faster_rcnn import FasterRCNN
+from .detectors.da_faster_rcnn import DAFasterRCNN
+
+__all__ = ['build_detector', 'ResNet', 'DAResNet', 'Tap', 'VARIANT_TAPS',
+           'RPNHead', 'Shared2FCBBoxHead', 'FasterRCNN', 'DAFasterRCNN']

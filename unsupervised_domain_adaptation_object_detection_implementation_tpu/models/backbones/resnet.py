@@ -1,0 +1,159 @@
+"""ResNet trunk (reference `mmdet/models/backbones/resnet.py`), NHWC flax.
+
+Supports the DA configs' DC5 shape — `strides=(1,2,2,1)`,
+`dilations=(1,1,1,2)`, `out_indices=(3,)` (stride-16, dilated stage 4,
+`da_configs/_base_/models/faster_rcnn_r50_torch_daf.py:9-14`) — plus the
+standard FPN shape `out_indices=(0,1,2,3)`.
+
+TPU-first choices:
+- NHWC layout end-to-end (TPU conv native layout).
+- `FrozenBatchNorm` folds into the convs (norm_eval=True semantics).
+- `frozen_stages` is realized as `lax.stop_gradient` at the stage boundary —
+  exactly equivalent for leading stages and free at runtime (the optimizer
+  additionally masks those params; see `apis/train.make_optimizer`).
+- parameter tree mirrors torchvision naming (`conv1`, `layer1/0/conv2`, ...)
+  so the pretrained-weight converter is a pure renaming.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...utils.registry import BACKBONES
+from ..layers.norm import FrozenBatchNorm
+
+
+class Bottleneck(nn.Module):
+    """1x1 → 3x3(stride/dilation) → 1x1 with residual — 'pytorch' style
+    (stride on the 3x3, reference resnet.py Bottleneck)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      name='conv1')(x)
+        out = FrozenBatchNorm(self.planes, name='bn1')(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      kernel_dilation=(self.dilation, self.dilation),
+                      padding=[(self.dilation, self.dilation)] * 2,
+                      use_bias=False, dtype=self.dtype, name='conv2')(out)
+        out = FrozenBatchNorm(self.planes, name='bn2')(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                      dtype=self.dtype, name='conv3')(out)
+        out = FrozenBatchNorm(self.planes * self.expansion, name='bn3')(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes * self.expansion, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name='downsample_conv')(x)
+            identity = FrozenBatchNorm(self.planes * self.expansion,
+                                       name='downsample_bn')(identity)
+        return nn.relu(out + identity)
+
+
+class BasicBlock(nn.Module):
+    """3x3 → 3x3 residual block (ResNet-18/34)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      kernel_dilation=(self.dilation, self.dilation),
+                      padding=[(self.dilation, self.dilation)] * 2,
+                      use_bias=False, dtype=self.dtype, name='conv1')(x)
+        out = FrozenBatchNorm(self.planes, name='bn1')(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=[(1, 1)] * 2,
+                      use_bias=False, dtype=self.dtype, name='conv2')(out)
+        out = FrozenBatchNorm(self.planes, name='bn2')(out)
+        if self.downsample:
+            identity = nn.Conv(self.planes, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype,
+                               name='downsample_conv')(x)
+            identity = FrozenBatchNorm(self.planes, name='downsample_bn')(identity)
+        return nn.relu(out + identity)
+
+
+ARCH_SETTINGS = {
+    18: (BasicBlock, (2, 2, 2, 2)),
+    34: (BasicBlock, (3, 4, 6, 3)),
+    50: (Bottleneck, (3, 4, 6, 3)),
+    101: (Bottleneck, (3, 4, 23, 3)),
+    152: (Bottleneck, (3, 8, 36, 3)),
+}
+
+
+@BACKBONES.register_module()
+class ResNet(nn.Module):
+    depth: int = 50
+    base_channels: int = 64
+    num_stages: int = 4
+    strides: Sequence[int] = (1, 2, 2, 2)
+    dilations: Sequence[int] = (1, 1, 1, 1)
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    frozen_stages: int = -1
+    dtype: jnp.dtype = jnp.float32
+
+    def stage_channels(self) -> Tuple[int, ...]:
+        block, _ = ARCH_SETTINGS[self.depth]
+        exp = 4 if block is Bottleneck else 1
+        return tuple(self.base_channels * exp * 2**i
+                     for i in range(self.num_stages))
+
+    @nn.compact
+    def __call__(self, x, return_all_stages: bool = False):
+        """x: (..., H, W, 3) normalized. Returns tuple of feature maps at
+        `out_indices` (or all 4 stages if `return_all_stages`)."""
+        block_cls, stage_blocks = ARCH_SETTINGS[self.depth]
+        x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2),
+                    padding=[(3, 3)] * 2, use_bias=False, dtype=self.dtype,
+                    name='conv1')(x)
+        x = FrozenBatchNorm(self.base_channels, name='bn1')(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
+
+        stage_outs = []
+        for i in range(self.num_stages):
+            planes = self.base_channels * 2**i
+            for b in range(stage_blocks[i]):
+                first = b == 0
+                in_ch = x.shape[-1]
+                out_ch = planes * (4 if block_cls is Bottleneck else 1)
+                x = block_cls(
+                    planes=planes,
+                    stride=self.strides[i] if first else 1,
+                    dilation=self.dilations[i],
+                    downsample=first and (self.strides[i] != 1 or
+                                          in_ch != out_ch),
+                    dtype=self.dtype,
+                    name=f'layer{i + 1}/{b}')(x)
+            if self.frozen_stages >= i + 1:
+                x = jax.lax.stop_gradient(x)
+            stage_outs.append(x)
+
+        if return_all_stages:
+            return tuple(stage_outs)
+        return tuple(stage_outs[i] for i in self.out_indices)

@@ -1,0 +1,206 @@
+"""RoI head train/test logic as batched pure functions.
+
+Covers the reference `StandardRoIHead` (`mmdet/models/roi_heads/
+standard_roi_head.py`) and the live DA variant `StandardRoIHeadDA_v5`
+(`standard_roi_head_da_v5.py:36`): assignment + sampling + RoIAlign + bbox
+head + loss, with the v5 extras — the post-shared-FC features and cls scores
+of ALL sampled RoIs are returned for the detector-level grouped instance DA
+loss, and supervised losses are masked to source images.
+
+Static-shape redesign of the ragged reference flow:
+- `bbox2roi`/`bbox2roi_train` (per-image roi lists,
+  `standard_roi_head_da_v5.py:12-33`) disappear: RoIs stay a (B, S, 4)
+  tensor; per-domain splits are boolean masks.
+- `add_gt_as_proposals=True` = concat of the padded gt block.
+- per-image python loops = vmap.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core.bbox.assigners import max_iou_assign
+from ...core.bbox.samplers import random_sample
+from ...core.bbox.transforms import bbox2delta, delta2bbox
+from ...core.post.nms import multiclass_nms
+from ...ops.roi_align import batched_roi_align
+from ..losses import binary_cross_entropy, cross_entropy, smooth_l1_loss
+
+
+class RoITrainConfig(NamedTuple):
+    """Values from `da_configs/_base_/models/faster_rcnn_r50_torch_daf.py:
+    77-97` (rcnn train_cfg) and the bbox_head block."""
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.5
+    min_pos_iou: float = 0.5
+    match_low_quality: bool = False
+    num_samples: int = 512
+    pos_fraction: float = 0.25
+    add_gt_as_proposals: bool = True
+    target_means: Tuple[float, ...] = (0., 0., 0., 0.)
+    target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
+    use_sigmoid_cls: bool = True
+
+
+class RoITestConfig(NamedTuple):
+    score_thr: float = 0.05
+    nms_iou_threshold: float = 0.5
+    max_per_img: int = 100
+    nms_pre: int = 1024
+    nms_tile: int = 256
+
+
+class SampledRoIs(NamedTuple):
+    rois: jnp.ndarray          # (B, S, 4)
+    labels: jnp.ndarray        # (B, S) gt class or num_classes (bg)
+    label_valid: jnp.ndarray   # (B, S) slot holds a real sample
+    is_pos: jnp.ndarray        # (B, S)
+    reg_targets: jnp.ndarray   # (B, S, 4)
+
+
+def sample_rois(proposals: jnp.ndarray,
+                prop_valid: jnp.ndarray,
+                gt_bboxes: jnp.ndarray,
+                gt_labels: jnp.ndarray,
+                gt_valid: jnp.ndarray,
+                rng: jax.Array,
+                num_classes: int,
+                cfg: RoITrainConfig = RoITrainConfig()) -> SampledRoIs:
+    """Assign+sample fixed-size RoI sets per image (vmapped)."""
+    b = proposals.shape[0]
+
+    def per_image(props, pv, gt, gtl, gtv, rng_i):
+        if cfg.add_gt_as_proposals:
+            cands = jnp.concatenate([gt, props], axis=0)
+            cand_valid = jnp.concatenate([gtv, pv], axis=0)
+        else:
+            cands, cand_valid = props, pv
+        assign = max_iou_assign(
+            cands, gt, gtv, gtl,
+            pos_iou_thr=cfg.pos_iou_thr, neg_iou_thr=cfg.neg_iou_thr,
+            min_pos_iou=cfg.min_pos_iou,
+            match_low_quality=cfg.match_low_quality,
+            prior_valid=cand_valid)
+        sample = random_sample(rng_i, assign.assigned_gt_inds,
+                               cfg.num_samples, cfg.pos_fraction)
+        rois = cands[sample.inds]
+        matched = jnp.clip(assign.assigned_gt_inds[sample.inds] - 1, 0,
+                           gt.shape[0] - 1)
+        labels = jnp.where(sample.is_pos, gtl[matched], num_classes)
+        reg_targets = bbox2delta(rois, gt[matched], cfg.target_means,
+                                 cfg.target_stds)
+        return SampledRoIs(rois, labels.astype(jnp.int32), sample.valid,
+                           sample.is_pos, reg_targets)
+
+    rngs = jax.random.split(rng, b)
+    return jax.vmap(per_image)(proposals, prop_valid, gt_bboxes, gt_labels,
+                               gt_valid, rngs)
+
+
+def bbox_loss(cls_scores: jnp.ndarray,
+              reg_preds: jnp.ndarray,
+              sampled: SampledRoIs,
+              num_classes: int,
+              cfg: RoITrainConfig = RoITrainConfig(),
+              loss_weight_mask: jnp.ndarray = None
+              ) -> Dict[str, jnp.ndarray]:
+    """Reference `BBoxHead.loss`: CE over sampled RoIs (avg over all
+    samples), smooth-L1 over positives (avg over all samples).
+
+    loss_weight_mask: (B,) — `(domain == 0)` masks supervision to source.
+    """
+    b, s = sampled.labels.shape
+    w_img = jnp.ones((b,), cls_scores.dtype) if loss_weight_mask is None \
+        else loss_weight_mask.astype(cls_scores.dtype)
+    w = sampled.label_valid.astype(cls_scores.dtype) * w_img[:, None]
+
+    if cfg.use_sigmoid_cls:
+        cls_l = binary_cross_entropy(cls_scores, sampled.labels,
+                                     weight=w[..., None], reduction='sum')
+        # mmdet BCE averages over classes too via elementwise mean; here we
+        # sum and normalize by count * C for the same scale
+        cls_l = cls_l / jnp.maximum(jnp.sum(w) * cls_scores.shape[-1], 1.0)
+    else:
+        cls_l = cross_entropy(cls_scores, sampled.labels, weight=w,
+                              reduction='sum')
+        cls_l = cls_l / jnp.maximum(jnp.sum(w), 1.0)
+
+    if reg_preds.shape[-1] == 4:
+        reg_sel = reg_preds
+    else:
+        reg_per_cls = reg_preds.reshape(b, s, num_classes, 4)
+        lbl = jnp.clip(sampled.labels, 0, num_classes - 1)
+        reg_sel = jnp.take_along_axis(
+            reg_per_cls, lbl[..., None, None].repeat(4, -1), axis=2)[..., 0, :]
+    pos_w = (sampled.is_pos & sampled.label_valid).astype(reg_preds.dtype) * \
+        w_img[:, None]
+    reg_l = smooth_l1_loss(reg_sel, sampled.reg_targets,
+                           weight=pos_w[..., None], reduction='sum')
+    reg_l = reg_l / jnp.maximum(jnp.sum(w), 1.0)
+    return dict(loss_cls=cls_l, loss_bbox=reg_l)
+
+
+def extract_roi_feats(feats: jnp.ndarray, rois: jnp.ndarray,
+                      featmap_stride: int = 16, out_size: int = 7,
+                      sampling_ratio: int = 2) -> jnp.ndarray:
+    """`SingleRoIExtractor` equivalent for the single-level DC5 trunk."""
+    return batched_roi_align(feats, rois, 1.0 / featmap_stride, out_size,
+                             sampling_ratio)
+
+
+def roi_head_predict(bbox_head_apply,
+                     feats: jnp.ndarray,
+                     proposals: jnp.ndarray,
+                     prop_valid: jnp.ndarray,
+                     img_shape: jnp.ndarray,
+                     num_classes: int,
+                     featmap_stride: int = 16,
+                     reg_class_agnostic: bool = False,
+                     target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2),
+                     use_sigmoid_cls: bool = True,
+                     cfg: RoITestConfig = RoITestConfig()):
+    """Reference `StandardRoIHead.simple_test` → `multiclass_nms` flow.
+
+    `bbox_head_apply`: callable (roi_feats) → (cls, reg, feat).
+    Returns dict(dets (B, max, 5), labels (B, max), valid (B, max)).
+    """
+    roi_feats = extract_roi_feats(feats, proposals, featmap_stride)
+    cls, reg, _ = bbox_head_apply(roi_feats)
+    if use_sigmoid_cls:
+        # sigmoid head: per-class prob, synthesize a bg column of zeros
+        probs = jax.nn.sigmoid(cls)[..., :num_classes]
+        scores = jnp.concatenate(
+            [probs, jnp.zeros_like(probs[..., :1])], axis=-1)
+    else:
+        scores = jax.nn.softmax(cls, axis=-1)
+    # suppress padded proposals
+    scores = scores * prop_valid[..., None]
+
+    b, p = proposals.shape[:2]
+    if reg_class_agnostic:
+        dec = delta2bbox(proposals, reg.reshape(b, p, 4), stds=target_stds)
+        boxes = jnp.broadcast_to(dec[:, :, None, :], (b, p, num_classes, 4))
+    else:
+        reg_per_cls = reg.reshape(b, p, num_classes, 4)
+        boxes = delta2bbox(
+            jnp.broadcast_to(proposals[:, :, None, :],
+                             (b, p, num_classes, 4)),
+            reg_per_cls, stds=target_stds)
+    boxes = jnp.clip(
+        boxes,
+        0.0,
+        jnp.stack([img_shape[:, 1], img_shape[:, 0],
+                   img_shape[:, 1], img_shape[:, 0]],
+                  axis=-1).astype(boxes.dtype)[:, None, None, :])
+
+    def per_image(boxes_i, scores_i):
+        return multiclass_nms(
+            boxes_i.reshape(p, num_classes * 4), scores_i,
+            cfg.score_thr, cfg.nms_iou_threshold, cfg.max_per_img,
+            cfg.nms_tile, cfg.nms_pre)
+
+    dets, labels, valid = jax.vmap(per_image)(boxes, scores)
+    return dict(dets=dets, labels=labels, valid=valid)

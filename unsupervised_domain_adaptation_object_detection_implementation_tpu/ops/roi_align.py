@@ -1,0 +1,139 @@
+"""RoIAlign for TPU.
+
+Replaces the reference's mmcv CUDA `RoIAlign` (used via `SingleRoIExtractor`,
+`mmdet/models/roi_heads/roi_extractors/single_level_roi_extractor.py:10`;
+config `da_configs/_base_/models/faster_rcnn_r50_torch_daf.py:42`:
+output_size=7, sampling_ratio=0, aligned).
+
+TPU-first design: bilinear sampling is LINEAR in the feature map, and the
+sample grid is separable per axis, so RoIAlign for each RoI is two small
+matmuls:
+
+    out[r] = Wy[r] @ feat @ Wx[r]^T        (per channel)
+
+where Wy[r] (out_h, H) / Wx[r] (out_w, W) hold the averaged bilinear weights
+of that RoI's sample points. This keeps the op on the MXU with dense,
+static-shape contractions instead of 4-tap gathers (gathers are
+bandwidth-bound and scatter VMEM on TPU). RoIs are processed in fixed-size
+chunks to bound the (chunk, H, out, C) intermediate.
+
+Semantics notes vs mmcv:
+- `aligned=True` (half-pixel offset) matches mmdet 2.x default.
+- mmcv's `sampling_ratio=0` means adaptive ceil(bin/sample) counts — a
+  data-dependent shape, so we use a fixed `sampling_ratio` (default 2, the
+  detectron2-standard choice); documented deviation, mAP-neutral.
+- out-of-image samples contribute zero (mmcv skips samples with y < -1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _axis_weights(lo: jnp.ndarray, bin_size: jnp.ndarray, out_size: int,
+                  sampling_ratio: int, axis_len: int) -> jnp.ndarray:
+    """Averaged bilinear weight matrix for one axis.
+
+    Args:
+        lo: (R,) start coordinate of each roi on this axis (feature units).
+        bin_size: (R,) per-roi bin extent.
+        out_size: number of output bins.
+        axis_len: feature length on this axis.
+
+    Returns:
+        (R, out_size, axis_len) weights.
+    """
+    sr = sampling_ratio
+    r = lo.shape[0]
+    # sample positions: lo + (bin + (s + .5)/sr) * bin_size
+    bins = jnp.arange(out_size, dtype=lo.dtype)
+    samples = (jnp.arange(sr, dtype=lo.dtype) + 0.5) / sr
+    pos = lo[:, None, None] + \
+        (bins[None, :, None] + samples[None, None, :]) * bin_size[:, None, None]
+    # (R, out, sr)
+    valid = (pos > -1.0) & (pos < axis_len)
+    pos_c = jnp.clip(pos, 0.0, axis_len - 1.0)
+    x0 = jnp.floor(pos_c)
+    frac = pos_c - x0
+    x0i = x0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, axis_len - 1)
+    grid = jnp.arange(axis_len, dtype=jnp.int32)
+    w0 = jnp.where(valid, 1.0 - frac, 0.0)
+    w1 = jnp.where(valid, frac, 0.0)
+    # scatter the two taps onto the axis grid: (R, out, sr, L) -> sum over sr
+    onehot0 = (grid[None, None, None, :] == x0i[..., None]).astype(lo.dtype)
+    onehot1 = (grid[None, None, None, :] == x1i[..., None]).astype(lo.dtype)
+    w = w0[..., None] * onehot0 + w1[..., None] * onehot1
+    return w.sum(axis=2) / sr                                  # (R, out, L)
+
+
+@partial(jax.jit, static_argnames=('out_size', 'sampling_ratio', 'aligned',
+                                   'roi_chunk'))
+def roi_align(feat: jnp.ndarray,
+              rois: jnp.ndarray,
+              spatial_scale: float,
+              out_size: int = 7,
+              sampling_ratio: int = 2,
+              aligned: bool = True,
+              roi_chunk: int = 64) -> jnp.ndarray:
+    """Single-image RoIAlign.
+
+    Args:
+        feat: (H, W, C) feature map.
+        rois: (R, 4) xyxy boxes in IMAGE coordinates.
+        spatial_scale: 1/stride of the feature map.
+
+    Returns:
+        (R, out_size, out_size, C).
+    """
+    h, w, c = feat.shape
+    n = rois.shape[0]
+    offset = 0.5 if aligned else 0.0
+    scaled = rois * spatial_scale
+    x1 = scaled[:, 0] - offset
+    y1 = scaled[:, 1] - offset
+    roi_w = scaled[:, 2] - scaled[:, 0]
+    roi_h = scaled[:, 3] - scaled[:, 1]
+    if not aligned:  # legacy: clamp to min size 1
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    bin_w = roi_w / out_size
+    bin_h = roi_h / out_size
+
+    wx = _axis_weights(x1, bin_w, out_size, sampling_ratio, w)   # (R, o, W)
+    wy = _axis_weights(y1, bin_h, out_size, sampling_ratio, h)   # (R, o, H)
+
+    chunk = min(roi_chunk, n)
+    pad = (-n) % chunk
+    if pad:
+        wx = jnp.pad(wx, ((0, pad), (0, 0), (0, 0)))
+        wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
+
+    wx_ch = wx.reshape(-1, chunk, out_size, w)
+    wy_ch = wy.reshape(-1, chunk, out_size, h)
+
+    def one_chunk(args):
+        wy_c, wx_c = args
+        # x-interp first: (chunk, H, o, C)
+        t = jnp.einsum('row,hwc->rhoc', wx_c, feat,
+                       preferred_element_type=feat.dtype)
+        # y-interp: (chunk, o, o, C)
+        return jnp.einsum('roh,rhpc->ropc', wy_c, t,
+                          preferred_element_type=feat.dtype)
+
+    out = jax.lax.map(one_chunk, (wy_ch, wx_ch))
+    out = out.reshape(-1, out_size, out_size, c)[:n]
+    return out
+
+
+def batched_roi_align(feats: jnp.ndarray, rois: jnp.ndarray,
+                      spatial_scale: float, out_size: int = 7,
+                      sampling_ratio: int = 2, aligned: bool = True,
+                      roi_chunk: int = 64) -> jnp.ndarray:
+    """vmapped over a leading batch axis: (B,H,W,C) x (B,R,4) → (B,R,o,o,C)."""
+    return jax.vmap(
+        lambda f, r: roi_align(f, r, spatial_scale, out_size, sampling_ratio,
+                               aligned, roi_chunk))(feats, rois)

@@ -1,0 +1,5 @@
+from .mesh import (make_mesh, batch_sharding, replicated, shard_batch,
+                   replicate_state)
+
+__all__ = ['make_mesh', 'batch_sharding', 'replicated', 'shard_batch',
+           'replicate_state']

@@ -7,3 +7,7 @@ __all__ = ['Registry', 'MODELS', 'BACKBONES', 'NECKS', 'HEADS', 'LOSSES',
            'DETECTORS', 'DATASETS', 'PIPELINES', 'BBOX_ASSIGNERS',
            'BBOX_SAMPLERS', 'BBOX_CODERS', 'ANCHOR_GENERATORS', 'Config',
            'ConfigDict', 'merge_dict']
+from .checkpoint import (save_checkpoint, load_checkpoint, latest_checkpoint,
+                         convert_torch_resnet, load_pretrained_backbone)
+__all__ += ['save_checkpoint', 'load_checkpoint', 'latest_checkpoint',
+            'convert_torch_resnet', 'load_pretrained_backbone']
