@@ -84,8 +84,17 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
         variables = load_pretrained_backbone(variables, pretrained_backbone)
     frozen = cfg.model.get('backbone', {}).get('frozen_stages', 1) \
         if hasattr(cfg.model, 'get') else 1
-    state, tx = create_train_state(model, variables, spec,
-                                   frozen_stages=frozen)
+    from ..models.detectors.cyda_faster_rcnn import CyDAFasterRCNN
+    is_gan = isinstance(model, CyDAFasterRCNN)
+    if is_gan:
+        from .train_state import create_gan_train_state, make_gan_train_step
+        state, tx_main, tx_disc = create_gan_train_state(
+            model, variables, spec, frozen_stages=frozen)
+        step_builder = lambda: make_gan_train_step(model, tx_main, tx_disc)  # noqa: E731
+    else:
+        state, tx = create_train_state(model, variables, spec,
+                                       frozen_stages=frozen)
+        step_builder = lambda: make_train_step(model, tx)  # noqa: E731
 
     start_epoch = 0
     if resume_from:
@@ -102,7 +111,7 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
                                batch_stats=restored.batch_stats)
         print(f'[train] loaded weights from {load_from}')
 
-    step_fn = jax.jit(make_train_step(model, tx), donate_argnums=0)
+    step_fn = jax.jit(step_builder(), donate_argnums=0)
     with mesh:
         state = replicate_state(state, mesh)
         metrics_out: Dict[str, float] = {}

@@ -143,3 +143,84 @@ def make_train_step(model, tx: optax.GradientTransformation,
             metrics
 
     return step_fn
+
+
+# ---- adversarial (two-parameter-group) training ---------------------------
+
+def split_params(params, disc_keys: Tuple[str, ...]):
+    """Partition the top-level param dict into (main, disc) subtrees."""
+    main = {k: v for k, v in params.items() if k not in disc_keys}
+    disc = {k: v for k, v in params.items() if k in disc_keys}
+    return main, disc
+
+
+def make_gan_train_step(model, tx_main: optax.GradientTransformation,
+                        tx_disc: optax.GradientTransformation,
+                        disc_keys: Tuple[str, ...] = ('disc_s', 'disc_t'),
+                        disc_loss_prefix: str = 'disc_'):
+    """Train step for CycleGAN-style detectors (CyDA/CyCADA): one jitted
+    step, two objectives — generator-side terms update every non-`disc_*`
+    parameter, `disc_*`-prefixed loss terms update the discriminators
+    (reference trains this with a single optimizer over a .item()-spliced
+    graph; here the min-max is explicit). Shared forward subgraphs between
+    the two grad computations are CSE'd by XLA inside the single program.
+
+    `state.opt_state` is the tuple (opt_main, opt_disc).
+    """
+
+    def step_fn(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        rng_sampler, rng_dropout = jax.random.split(
+            jax.random.fold_in(rng, state.step))
+        opt_main, opt_disc = state.opt_state
+        main0, disc0 = split_params(state.params, disc_keys)
+
+        def forward(main_p, disc_p):
+            out, new_vars = model.apply(
+                {'params': {**main_p, **disc_p},
+                 'batch_stats': state.batch_stats},
+                batch, train=True,
+                rngs={'sampler': rng_sampler, 'dropout': rng_dropout},
+                mutable=['batch_stats'])
+            return out, new_vars.get('batch_stats', state.batch_stats)
+
+        def g_loss(main_p):
+            out, stats = forward(main_p, disc0)
+            total = sum(v for k, v in out.items()
+                        if not k.startswith(disc_loss_prefix))
+            return total, (out, stats)
+
+        def d_loss(disc_p):
+            out, _ = forward(main0, disc_p)
+            return sum(v for k, v in out.items()
+                       if k.startswith(disc_loss_prefix))
+
+        (g_total, (loss_dict, new_stats)), g_grads = jax.value_and_grad(
+            g_loss, has_aux=True)(main0)
+        d_total, d_grads = jax.value_and_grad(d_loss)(disc0)
+
+        g_updates, opt_main = tx_main.update(g_grads, opt_main, main0)
+        new_main = optax.apply_updates(main0, g_updates)
+        d_updates, opt_disc = tx_disc.update(d_grads, opt_disc, disc0)
+        new_disc = optax.apply_updates(disc0, d_updates)
+
+        metrics = dict(loss=g_total + d_total, **loss_dict)
+        return TrainState(state.step + 1, {**new_main, **new_disc},
+                          new_stats, (opt_main, opt_disc)), metrics
+
+    return step_fn
+
+
+def create_gan_train_state(model, variables, spec_main: OptimizerSpec,
+                           spec_disc: Optional[OptimizerSpec] = None,
+                           frozen_stages: int = -1,
+                           disc_keys: Tuple[str, ...] = ('disc_s', 'disc_t')):
+    """TrainState + (tx_main, tx_disc) for adversarial detectors."""
+    spec_disc = spec_disc or spec_main
+    params = variables['params']
+    main, disc = split_params(params, disc_keys)
+    tx_main = make_optimizer(spec_main, main, frozen_stages)
+    tx_disc = make_optimizer(spec_disc)
+    state = TrainState(jnp.zeros((), jnp.int32), params,
+                       variables.get('batch_stats', {}),
+                       (tx_main.init(main), tx_disc.init(disc)))
+    return state, tx_main, tx_disc

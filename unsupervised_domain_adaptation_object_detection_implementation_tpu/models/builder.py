@@ -32,6 +32,8 @@ _REFERENCE_DETECTOR_MAP = {
     'DAFasterRCNN_Tri': ('DAFasterRCNN', dict(variant='tri',
                                               instance_mode='grouped',
                                               group_k=10)),
+    'CyDAFasterRCNN': ('CyDAFasterRCNN', {}),
+    'CyCADA': ('CyDAFasterRCNN', dict(pretraining=True)),
 }
 
 
