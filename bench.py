@@ -92,7 +92,9 @@ def main():
         OptimizerSpec, create_train_state, make_train_step)
     from __graft_entry__ import _demo_batch
 
-    model = DAFasterRCNN(variant='daf', num_classes=8, backbone_depth=50)
+    import jax.numpy as jnp
+    model = DAFasterRCNN(variant='daf', num_classes=8, backbone_depth=50,
+                         dtype=jnp.bfloat16)
     batch = _demo_batch(b=BATCH, h=H, w=W)
     k = jax.random.PRNGKey(0)
     variables = model.init({'params': k, 'sampler': k, 'dropout': k}, batch,

@@ -160,3 +160,101 @@ def test_multichip_sharded_train_step():
         # params remain replicated (single shard each)
         leaf = jax.tree_util.tree_leaves(new_state.params)[0]
         assert leaf.sharding.is_fully_replicated
+
+
+def test_bf16_train_and_predict():
+    """bf16 compute path: finite losses and valid detections (losses are
+    computed in fp32 internally)."""
+    model = DAFasterRCNN(dtype=jnp.bfloat16, **SMALL)
+    batch = demo_batch()
+    variables = init_model(model, batch)
+    k = jax.random.PRNGKey(1)
+    losses, _ = model.apply(variables, batch, train=True,
+                            rngs={'sampler': k, 'dropout': k},
+                            mutable=['batch_stats'])
+    for key, v in losses.items():
+        assert v.dtype == jnp.float32, key
+        assert np.isfinite(float(v)), key
+    dets = model.apply(variables, batch, train=False)
+    assert dets['dets'].dtype == jnp.float32
+
+
+def test_retinanet_forward():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models import RetinaNet
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.dense_heads.anchor_head import (
+        MultiAnchorConfig, DensePredictConfig)
+    model = RetinaNet(
+        backbone_depth=18, num_classes=3,
+        anchor_cfg=MultiAnchorConfig(strides=(8, 16, 32, 64, 128)),
+        test_cfg=DensePredictConfig(nms_pre=200, max_per_img=10,
+                                    nms_tile=128))
+    batch = demo_batch(h=64, w=64)
+    variables = init_model(model, batch)
+    k = jax.random.PRNGKey(1)
+    losses, _ = model.apply(variables, batch, train=True,
+                            rngs={'sampler': k, 'dropout': k},
+                            mutable=['batch_stats'])
+    assert set(losses) == {'loss_cls', 'loss_bbox'}
+    for key, v in losses.items():
+        assert np.isfinite(float(v)), key
+    dets = model.apply(variables, batch, train=False)
+    assert dets['dets'].shape == (2, 10, 5)
+
+
+def test_faster_rcnn_fpn_forward():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models import FasterRCNNFPN
+    model = FasterRCNNFPN(
+        backbone_depth=18, num_classes=3,
+        rpn_proposal_cfg=ProposalConfig(nms_pre=256, max_per_img=64,
+                                        nms_tile=128),
+        rpn_test_cfg=ProposalConfig(nms_pre=256, max_per_img=64,
+                                    nms_tile=128),
+        roi_train_cfg=RoITrainConfig(num_samples=32, use_sigmoid_cls=False),
+        roi_test_cfg=RoITestConfig(max_per_img=10, nms_pre=128,
+                                   nms_tile=128))
+    batch = demo_batch(h=64, w=64)
+    variables = init_model(model, batch)
+    k = jax.random.PRNGKey(1)
+    losses, _ = model.apply(variables, batch, train=True,
+                            rngs={'sampler': k, 'dropout': k},
+                            mutable=['batch_stats'])
+    assert set(losses) == {'loss_rpn_cls', 'loss_rpn_bbox', 'loss_cls',
+                           'loss_bbox'}
+    for key, v in losses.items():
+        assert np.isfinite(float(v)), key
+    dets = model.apply(variables, batch, train=False)
+    assert dets['dets'].shape == (2, 10, 5)
+
+
+def test_swin_backbone_and_deepalign_swin():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.backbones.swin import (
+        SwinTransformer)
+    model = SwinTransformer(embed_dims=32, depths=(1, 1, 2, 1),
+                            num_heads=(1, 2, 4, 8), window_size=4)
+    x = jnp.ones((1, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(v, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 32), (1, 8, 8, 64), (1, 4, 4, 128), (1, 2, 2, 256)]
+
+    # DeepAlign on a Swin trunk (BASELINE.json target config), stride 32
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.faster_rcnn import (
+        AnchorConfig)
+    det = DAFasterRCNN(
+        variant='deep', backbone_type='swin', featmap_stride=32,
+        anchor_cfg=AnchorConfig(stride=32), num_classes=3,
+        rpn_proposal_cfg=ProposalConfig(nms_pre=128, max_per_img=32,
+                                        nms_tile=128),
+        rpn_test_cfg=ProposalConfig(nms_pre=128, max_per_img=32,
+                                    nms_tile=128),
+        roi_train_cfg=RoITrainConfig(num_samples=16),
+        roi_test_cfg=RoITestConfig(max_per_img=8, nms_pre=128, nms_tile=128))
+    batch = demo_batch(h=64, w=64)
+    variables = init_model(det, batch)
+    k = jax.random.PRNGKey(1)
+    losses, _ = det.apply(variables, batch, train=True,
+                          rngs={'sampler': k, 'dropout': k},
+                          mutable=['batch_stats'])
+    for key, v_ in losses.items():
+        assert np.isfinite(float(v_)), key
+    assert 'globle_da_loss' in losses and 'patch_bottom_loss' in losses

@@ -1,0 +1,51 @@
+"""Functional training hooks.
+
+Equivalents of the reference's `mmdet/core/hook/` subsystem re-expressed as
+pure functions composed into the train step / loop:
+
+- `ema_update` — `ExpMomentumEMAHook`/`LinearMomentumEMAHook`
+  (`core/hook/ema.py:8,104,119`);
+- `guard_nonfinite_update` — `CheckInvalidLossHook`
+  (`core/hook/checkloss_hook.py`), upgraded from "raise on NaN" to
+  "skip the update" (the useful behavior inside a jitted step);
+- `grad_norm` — the DistOptimizerHook grad-clip observability.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def ema_update(ema_params, params, momentum: float = 0.9998,
+               step=None, gamma: float = 2000.0):
+    """EMA of params. With `step`, uses the exp-momentum warmup ramp of the
+    reference (`ema.py:104`): m(t) = (1-m0)*exp(-(t+1)/gamma) + m0 inverted
+    so early steps track the raw params closely."""
+    if step is not None:
+        m = 1.0 - (1.0 - momentum) * (1.0 + jnp.exp(-(step + 1.0) / gamma)) \
+            * 0.5
+    else:
+        m = momentum
+    return jax.tree_util.tree_map(
+        lambda e, p: e * m + p * (1.0 - m), ema_params, params)
+
+
+def grad_norm(grads) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(grads)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in leaves))
+
+
+def guard_nonfinite_update(old_params, new_params, loss) -> Tuple:
+    """Keep the old params when the step produced a non-finite loss.
+
+    Returns (params, skipped_flag). Composable inside the jitted step —
+    a NaN batch then costs one wasted step instead of a dead run.
+    """
+    ok = jnp.isfinite(loss)
+    params = jax.tree_util.tree_map(
+        lambda o, n: jnp.where(ok, n, o), old_params, new_params)
+    return params, ~ok

@@ -51,7 +51,7 @@ VARIANT_TAPS: Dict[str, Tuple[Tap, ...]] = {
 
 @BACKBONES.register_module()
 class DAResNet(nn.Module):
-    """ResNet + per-stage GRL alignment heads."""
+    """Detection trunk (ResNet or Swin) + per-stage GRL alignment heads."""
 
     depth: int = 50
     strides: Sequence[int] = (1, 2, 2, 1)
@@ -59,6 +59,8 @@ class DAResNet(nn.Module):
     out_indices: Sequence[int] = (3,)
     frozen_stages: int = 1
     taps: Tuple[Tap, ...] = VARIANT_TAPS['daf']
+    trunk_type: str = 'resnet'        # 'resnet' | 'swin' (Swin-T trunk —
+    # the "DeepAlign on Swin-T" target config)
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -74,11 +76,17 @@ class DAResNet(nn.Module):
         matching the reference where DA detectors test as plain Faster R-CNN
         (`DAFaster_rcnn.py:342-347`).
         """
-        trunk = ResNet(depth=self.depth, strides=tuple(self.strides),
-                       dilations=tuple(self.dilations),
-                       out_indices=tuple(self.out_indices),
-                       frozen_stages=self.frozen_stages, dtype=self.dtype,
-                       name='trunk')
+        if self.trunk_type == 'swin':
+            from .swin import SwinTransformer
+            trunk = SwinTransformer(out_indices=tuple(self.out_indices),
+                                    frozen_stages=self.frozen_stages,
+                                    dtype=self.dtype, name='trunk')
+        else:
+            trunk = ResNet(depth=self.depth, strides=tuple(self.strides),
+                           dilations=tuple(self.dilations),
+                           out_indices=tuple(self.out_indices),
+                           frozen_stages=self.frozen_stages, dtype=self.dtype,
+                           name='trunk')
         stages = trunk(x, return_all_stages=True)
         outs = tuple(stages[i] for i in self.out_indices)
         if not with_da:

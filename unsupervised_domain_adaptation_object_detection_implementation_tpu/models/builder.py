@@ -45,6 +45,9 @@ def _nested_to_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
         kwargs['backbone_depth'] = backbone['depth']
     if 'frozen_stages' in backbone:
         kwargs['frozen_stages'] = backbone['frozen_stages']
+    if backbone.get('trunk_type') or backbone.get('type') == 'SwinTransformer':
+        kwargs['backbone_type'] = backbone.get('trunk_type', 'swin')
+        kwargs['featmap_stride'] = 32
 
     rpn = cfg.get('rpn_head', {})
     anch = rpn.get('anchor_generator', {})
@@ -53,6 +56,8 @@ def _nested_to_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
             scales=tuple(anch.get('scales', (2, 4, 8, 16, 32))),
             ratios=tuple(anch.get('ratios', (0.5, 1.0, 2.0))),
             stride=(anch.get('strides', [16]))[0])
+        if kwargs.get('backbone_type') == 'swin':
+            kwargs['anchor_cfg'] = kwargs['anchor_cfg']._replace(stride=32)
 
     roi = cfg.get('roi_head', {})
     bbox_head = roi.get('bbox_head', {})

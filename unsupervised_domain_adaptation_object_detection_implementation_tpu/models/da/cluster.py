@@ -41,6 +41,7 @@ def masked_kmeans(feats: jnp.ndarray,
     (`cluster.py:99`), which makes early-training grouping noise-dominated.
     Empty clusters keep their previous centroid.
     """
+    feats = feats.astype(jnp.float32)
     n, d = feats.shape
     # indices of valid rows, packed first (argsort of ~mask is stable)
     order = jnp.argsort(~mask)
@@ -77,6 +78,7 @@ def group_representatives(feats: jnp.ndarray,
 
     Returns (reps (K, D), rep_valid (K,)).
     """
+    feats = feats.astype(jnp.float32)
     n, d = feats.shape
     num_valid = jnp.sum(mask)
 

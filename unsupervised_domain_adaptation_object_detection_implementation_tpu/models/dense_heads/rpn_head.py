@@ -70,7 +70,7 @@ class ProposalConfig(NamedTuple):
     max_per_img: int = 2000
     nms_iou_threshold: float = 0.7
     min_bbox_size: float = 0.0
-    nms_tile: int = 256
+    nms_tile: int = 512
 
 
 def rpn_loss(cls_logits: jnp.ndarray,
@@ -157,8 +157,8 @@ def rpn_proposals(cls_logits: jnp.ndarray,
 
     b = cls_logits.shape[0]
     n = anchors.shape[0]
-    cls_flat = cls_logits.reshape(b, n)
-    reg_flat = reg_preds.reshape(b, n, 4)
+    cls_flat = cls_logits.reshape(b, n).astype(jnp.float32)
+    reg_flat = reg_preds.reshape(b, n, 4).astype(jnp.float32)
 
     def per_image(cls_i, reg_i, shape_i):
         k = min(cfg.nms_pre, n)

@@ -1,5 +1,7 @@
 from .faster_rcnn import FasterRCNN, AnchorConfig
 from .da_faster_rcnn import DAFasterRCNN, DALossWeights
 from .cyda_faster_rcnn import CyDAFasterRCNN, DISC_KEYS
+from .retinanet import RetinaNet, RetinaHead
+from .faster_rcnn_fpn import FasterRCNNFPN, FPNRPNHead
 
-__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS']
+__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead']

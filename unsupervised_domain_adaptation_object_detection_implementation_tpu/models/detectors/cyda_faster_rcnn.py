@@ -115,7 +115,7 @@ class CyDAFasterRCNN(nn.Module):
         # detection on [translated source | raw target]
         det_img = img.at[0::2].set(fake_t)
         source_mask = (domain == 0).astype(jnp.float32)
-        (feat,), da_out = self.backbone(det_img, train=True)
+        (feat,), da_out = self.backbone(det_img.astype(self.dtype), train=True)
         anchors = self._anchors_for(feat)
         rpn_cls, rpn_reg = self.rpn_head(feat)
         losses.update(rpn_loss(
@@ -143,7 +143,8 @@ class CyDAFasterRCNN(nn.Module):
     def predict(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         """Vanilla two-stage inference — no translation at test time
         (reference `CyDAFaster_rcnn.py` inherits simple_test)."""
-        (feat,), _ = self.backbone(batch['image'], train=False, with_da=False)
+        (feat,), _ = self.backbone(batch['image'].astype(self.dtype),
+                                   train=False, with_da=False)
         anchors = self._anchors_for(feat)
         rpn_cls, rpn_reg = self.rpn_head(feat)
         proposals, _, prop_valid = rpn_proposals(

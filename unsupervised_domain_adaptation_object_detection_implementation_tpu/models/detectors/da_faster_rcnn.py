@@ -60,6 +60,7 @@ class DAFasterRCNN(nn.Module):
     instance_mode: str = 'grouped'  # grouped | split_plain | plain | none
     group_k: int = 16
     backbone_depth: int = 50
+    backbone_type: str = 'resnet'   # 'resnet' | 'swin'
     frozen_stages: int = 1
     loss_weights: DALossWeights = DALossWeights()
     quirk_detach: bool = False
@@ -76,7 +77,8 @@ class DAFasterRCNN(nn.Module):
     def setup(self):
         self.backbone = DAResNet(
             depth=self.backbone_depth, frozen_stages=self.frozen_stages,
-            taps=VARIANT_TAPS[self.variant], dtype=self.dtype)
+            taps=VARIANT_TAPS[self.variant], trunk_type=self.backbone_type,
+            dtype=self.dtype)
         self.rpn_head = RPNHead(
             feat_channels=2048, num_anchors=self.anchor_cfg.num_anchors,
             dtype=self.dtype)
@@ -98,7 +100,8 @@ class DAFasterRCNN(nn.Module):
         domain = batch['domain']
         source_mask = (domain == 0).astype(jnp.float32)
 
-        (feat,), da_out = self.backbone(batch['image'], train=True)
+        (feat,), da_out = self.backbone(batch['image'].astype(self.dtype),
+                                        train=True)
 
         # --- supervised detection path (source-masked) -------------------
         anchors = self._anchors_for(feat)
@@ -185,7 +188,8 @@ class DAFasterRCNN(nn.Module):
 
     # ---- inference (vanilla Faster R-CNN) -------------------------------
     def predict(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-        (feat,), _ = self.backbone(batch['image'], train=False, with_da=False)
+        (feat,), _ = self.backbone(batch['image'].astype(self.dtype),
+                                   train=False, with_da=False)
         anchors = self._anchors_for(feat)
         rpn_cls, rpn_reg = self.rpn_head(feat)
         proposals, _, prop_valid = rpn_proposals(

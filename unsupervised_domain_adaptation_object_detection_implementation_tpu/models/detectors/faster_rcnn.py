@@ -74,7 +74,7 @@ class FasterRCNN(nn.Module):
 
     # ---- shared pieces -------------------------------------------------
     def extract_feat(self, image: jnp.ndarray) -> jnp.ndarray:
-        (feat,) = self.backbone(image)
+        (feat,) = self.backbone(image.astype(self.dtype))
         return feat
 
     def _anchors_for(self, feat: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,131 @@
+"""Faster R-CNN R50-FPN (reference `configs/faster_rcnn/faster_rcnn_r50_fpn_
+1x_coco.py` model shape — the model-zoo headline, `docs/model_zoo.md`).
+
+Multi-level RPN (P2–P6, 3 anchors/location) + FPN RoI head with scale-based
+level mapping. All level lists are flattened to single static tensors so the
+single-level loss machinery applies unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.anchors.anchor_generator import AnchorGenerator
+from ...utils.registry import DETECTORS
+from ..backbones.resnet import ResNet
+from ..dense_heads.anchor_head import flatten_level_preds
+from ..dense_heads.rpn_head import (ProposalConfig, RPNTrainConfig, rpn_loss,
+                                    rpn_proposals)
+from ..necks.fpn import FPN
+from ..roi_heads.bbox_head import Shared2FCBBoxHead
+from ..roi_heads.standard_roi_head import (RoITestConfig, RoITrainConfig,
+                                           bbox_loss, extract_roi_feats_fpn,
+                                           roi_head_predict, sample_rois)
+
+
+class FPNRPNHead(nn.Module):
+    """Shared RPN convs applied per level (reference RPNHead over FPN)."""
+
+    feat_channels: int = 256
+    num_anchors: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats) -> Tuple[Tuple, Tuple]:
+        conv = nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1)] * 2,
+                       dtype=self.dtype, name='rpn_conv')
+        cls = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype,
+                      name='rpn_cls')
+        reg = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype,
+                      name='rpn_reg')
+        cls_out, reg_out = [], []
+        for f in feats:
+            t = nn.relu(conv(f))
+            cls_out.append(cls(t))
+            reg_out.append(reg(t))
+        return tuple(cls_out), tuple(reg_out)
+
+
+@DETECTORS.register_module()
+class FasterRCNNFPN(nn.Module):
+    num_classes: int = 80
+    backbone_depth: int = 50
+    frozen_stages: int = 1
+    rpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    rpn_train_cfg: RPNTrainConfig = RPNTrainConfig()
+    rpn_proposal_cfg: ProposalConfig = ProposalConfig(nms_pre=4096,
+                                                      max_per_img=1000)
+    rpn_test_cfg: ProposalConfig = ProposalConfig(nms_pre=4096,
+                                                  max_per_img=1000)
+    roi_train_cfg: RoITrainConfig = RoITrainConfig(use_sigmoid_cls=False)
+    roi_test_cfg: RoITestConfig = RoITestConfig()
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet(
+            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+            dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
+            frozen_stages=self.frozen_stages, dtype=self.dtype)
+        self.neck = FPN(in_channels=self.backbone.stage_channels(),
+                        out_channels=256, num_outs=5, dtype=self.dtype)
+        self.rpn_head = FPNRPNHead(dtype=self.dtype)
+        self.bbox_head = Shared2FCBBoxHead(
+            num_classes=self.num_classes, in_channels=256, dtype=self.dtype)
+
+    def _flat_rpn(self, image):
+        feats = self.neck(self.backbone(image.astype(self.dtype)))
+        cls_levels, reg_levels = self.rpn_head(feats)
+        sizes = [(f.shape[-3], f.shape[-2]) for f in feats]
+        gen = AnchorGenerator(strides=list(self.rpn_strides),
+                              ratios=[0.5, 1.0, 2.0], scales=[8])
+        anchors = jnp.asarray(np.concatenate(gen.grid_priors(sizes), axis=0))
+        cls = flatten_level_preds(cls_levels, 1)[..., 0]
+        reg = flatten_level_preds(reg_levels, 4)
+        return feats, cls, reg, anchors
+
+    def loss(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        feats, cls, reg, anchors = self._flat_rpn(batch['image'])
+        b, n = cls.shape
+        losses = rpn_loss(cls.reshape(b, n, 1, 1), reg.reshape(b, n, 1, 4),
+                          anchors, batch['gt_bboxes'], batch['gt_valid'],
+                          batch['img_shape'], self.make_rng('sampler'),
+                          self.rpn_train_cfg)
+        proposals, _, prop_valid = rpn_proposals(
+            jax.lax.stop_gradient(cls).reshape(b, n, 1, 1),
+            jax.lax.stop_gradient(reg).reshape(b, n, 1, 4),
+            anchors, batch['img_shape'], self.rpn_proposal_cfg)
+        sampled = sample_rois(proposals, prop_valid, batch['gt_bboxes'],
+                              batch['gt_labels'], batch['gt_valid'],
+                              self.make_rng('sampler'), self.num_classes,
+                              self.roi_train_cfg)
+        roi_feats = extract_roi_feats_fpn(feats, sampled.rois)
+        cls_s, reg_s, _ = self.bbox_head(roi_feats)
+        losses.update(bbox_loss(cls_s, reg_s, sampled, self.num_classes,
+                                self.roi_train_cfg))
+        return losses
+
+    def predict(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        feats, cls, reg, anchors = self._flat_rpn(batch['image'])
+        b, n = cls.shape
+        proposals, _, prop_valid = rpn_proposals(
+            cls.reshape(b, n, 1, 1), reg.reshape(b, n, 1, 4), anchors,
+            batch['img_shape'], self.rpn_test_cfg)
+        return roi_head_predict(
+            self.bbox_head,
+            feats, proposals, prop_valid, batch['img_shape'],
+            self.num_classes, featmap_stride=0,  # unused with extractor below
+            reg_class_agnostic=False,
+            target_stds=self.roi_train_cfg.target_stds,
+            use_sigmoid_cls=self.roi_train_cfg.use_sigmoid_cls,
+            cfg=self.roi_test_cfg,
+            roi_extractor=lambda f, r: extract_roi_feats_fpn(f, r))
+
+    def __call__(self, batch, train: bool = True):
+        if train:
+            return self.loss(batch)
+        return self.predict(batch)

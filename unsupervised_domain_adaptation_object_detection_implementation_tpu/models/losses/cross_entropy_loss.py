@@ -18,7 +18,9 @@ from .utils import weight_reduce_loss
 
 
 def softmax_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample softmax CE with integer labels: (..., C) x (...,) → (...,)."""
+    """Per-sample softmax CE with integer labels: (..., C) x (...,) → (...,).
+    Always computed in fp32 (bf16 logits are upcast)."""
+    logits = logits.astype(jnp.float32)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     labels_clipped = jnp.clip(labels, 0, logits.shape[-1] - 1)
     return -jnp.take_along_axis(log_probs, labels_clipped[..., None], axis=-1)[..., 0]
@@ -46,6 +48,7 @@ def binary_cross_entropy(logits: jnp.ndarray,
     == C (background) maps to the all-zeros row). Float labels matching the
     logits' shape are used directly.
     """
+    logits = logits.astype(jnp.float32)
     if labels.ndim == logits.ndim - 1:
         num_classes = logits.shape[-1]
         onehot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)

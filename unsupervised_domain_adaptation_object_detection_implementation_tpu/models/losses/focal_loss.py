@@ -34,6 +34,7 @@ def sigmoid_focal_loss(logits: jnp.ndarray,
 
     Label == C means background (all-zero targets) — mmdet one-hot semantics.
     """
+    logits = logits.astype(jnp.float32)
     num_classes = logits.shape[-1]
     onehot = jax.nn.one_hot(labels, num_classes, dtype=logits.dtype)
     p = jax.nn.sigmoid(logits)

@@ -16,7 +16,7 @@ def smooth_l1_loss(pred: jnp.ndarray,
                    beta: float = 1.0,
                    reduction: str = 'mean',
                    avg_factor=None) -> jnp.ndarray:
-    diff = jnp.abs(pred - target)
+    diff = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
     loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
     return weight_reduce_loss(loss, weight, reduction, avg_factor)
 

@@ -151,8 +151,36 @@ def extract_roi_feats(feats: jnp.ndarray, rois: jnp.ndarray,
                              sampling_ratio)
 
 
+def extract_roi_feats_fpn(feats, rois: jnp.ndarray,
+                          strides=(4, 8, 16, 32), out_size: int = 7,
+                          sampling_ratio: int = 2,
+                          finest_scale: int = 56) -> jnp.ndarray:
+    """Multi-level `SingleRoIExtractor` (reference
+    `single_level_roi_extractor.py:10` map_roi_levels): RoIs are assigned to
+    pyramid levels by scale — level = floor(log2(sqrt(area)/finest_scale)),
+    clamped — then each level's RoIAlign output is selected per RoI.
+
+    Static-shape approach: RoIAlign runs on EVERY level for every RoI and a
+    one-hot level mask selects the result. 4× the aligns, but each level is
+    256-channel (vs 2048 single-level) and the masked select fuses — the
+    dense trade that keeps shapes static.
+    """
+    scale = jnp.sqrt(
+        jnp.maximum(rois[..., 2] - rois[..., 0], 0) *
+        jnp.maximum(rois[..., 3] - rois[..., 1], 0))
+    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
+    lvl = jnp.clip(lvl, 0, len(strides) - 1).astype(jnp.int32)
+    out = None
+    for i, s in enumerate(strides):
+        aligned = batched_roi_align(feats[i], rois, 1.0 / s, out_size,
+                                    sampling_ratio)
+        sel = (lvl == i).astype(aligned.dtype)[..., None, None, None]
+        out = aligned * sel if out is None else out + aligned * sel
+    return out
+
+
 def roi_head_predict(bbox_head_apply,
-                     feats: jnp.ndarray,
+                     feats,
                      proposals: jnp.ndarray,
                      prop_valid: jnp.ndarray,
                      img_shape: jnp.ndarray,
@@ -161,14 +189,22 @@ def roi_head_predict(bbox_head_apply,
                      reg_class_agnostic: bool = False,
                      target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2),
                      use_sigmoid_cls: bool = True,
-                     cfg: RoITestConfig = RoITestConfig()):
+                     cfg: RoITestConfig = RoITestConfig(),
+                     roi_extractor=None):
     """Reference `StandardRoIHead.simple_test` → `multiclass_nms` flow.
 
     `bbox_head_apply`: callable (roi_feats) → (cls, reg, feat).
+    `roi_extractor`: optional (feats, rois) → roi_feats override (FPN
+    multi-level extraction); defaults to the single-level extractor.
     Returns dict(dets (B, max, 5), labels (B, max), valid (B, max)).
     """
-    roi_feats = extract_roi_feats(feats, proposals, featmap_stride)
+    if roi_extractor is None:
+        roi_feats = extract_roi_feats(feats, proposals, featmap_stride)
+    else:
+        roi_feats = roi_extractor(feats, proposals)
     cls, reg, _ = bbox_head_apply(roi_feats)
+    cls = cls.astype(jnp.float32)
+    reg = reg.astype(jnp.float32)
     if use_sigmoid_cls:
         # sigmoid head: per-class prob, synthesize a bg column of zeros
         probs = jax.nn.sigmoid(cls)[..., :num_classes]

@@ -117,12 +117,13 @@ def roi_align(feat: jnp.ndarray,
 
     def one_chunk(args):
         wy_c, wx_c = args
-        # x-interp first: (chunk, H, o, C)
-        t = jnp.einsum('row,hwc->rhoc', wx_c, feat,
-                       preferred_element_type=feat.dtype)
+        # x-interp first: (chunk, H, o, C); accumulate in fp32
+        t = jnp.einsum('row,hwc->rhoc', wx_c.astype(feat.dtype), feat,
+                       preferred_element_type=jnp.float32)
         # y-interp: (chunk, o, o, C)
-        return jnp.einsum('roh,rhpc->ropc', wy_c, t,
-                          preferred_element_type=feat.dtype)
+        out = jnp.einsum('roh,rhpc->ropc', wy_c.astype(jnp.float32), t,
+                         preferred_element_type=jnp.float32)
+        return out.astype(feat.dtype)
 
     out = jax.lax.map(one_chunk, (wy_ch, wx_ch))
     out = out.reshape(-1, out_size, out_size, c)[:n]

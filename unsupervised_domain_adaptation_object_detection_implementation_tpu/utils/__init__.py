@@ -11,3 +11,5 @@ from .checkpoint import (save_checkpoint, load_checkpoint, latest_checkpoint,
                          convert_torch_resnet, load_pretrained_backbone)
 __all__ += ['save_checkpoint', 'load_checkpoint', 'latest_checkpoint',
             'convert_torch_resnet', 'load_pretrained_backbone']
+from .profiling import profile_time, measure_fps, sync, trace
+__all__ += ['profile_time', 'measure_fps', 'sync', 'trace']
