@@ -145,3 +145,18 @@ def test_resnet_frozen_stage_stops_grad():
             if 'layer4' in jax.tree_util.keystr(p)]
     assert max(froz) == 0.0
     assert max(live) > 0.0
+
+
+def test_roi_align_pallas_matches_xla():
+    """Pallas kernel (interpret mode on CPU) vs the XLA separable path."""
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.ops.roi_align_pallas import (
+        roi_align_pallas)
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(2, 16, 24, 128), jnp.float32)
+    rois = rng.uniform(0, 200, (2, 40, 4)).astype(np.float32)
+    rois[..., 2:] += rois[..., :2] + 40
+    rois = jnp.asarray(rois)
+    ref = batched_roi_align(feat, rois, 1 / 16)
+    got = roi_align_pallas(feat, rois, 1 / 16, roi_chunk=16, c_slab=128,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
