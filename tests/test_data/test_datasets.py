@@ -154,3 +154,29 @@ def test_coco_dataset(tmp_path):
     out = ds.evaluate(results, metric='bbox')
     assert out['bbox_mAP'] == pytest.approx(1.0)
     assert out['bbox_mAP_75'] == pytest.approx(1.0)
+
+
+def test_aug_transforms_box_consistency():
+    """RandomCrop/Expand/MinIoURandomCrop/CutOut keep boxes inside images."""
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.data.pipelines import (
+        RandomCrop, Expand, MinIoURandomCrop, CutOut)
+    rng = np.random.RandomState(3)
+    for t in [RandomCrop((40, 60)), Expand(prob=1.0),
+              MinIoURandomCrop(), CutOut(n_holes=2)]:
+        for seed in range(3):
+            r = dict(img=rng.randint(0, 255, (64, 96, 3), dtype=np.uint8),
+                     img_shape=(64, 96),
+                     gt_bboxes=np.array([[10., 10., 30., 30.],
+                                         [50., 20., 80., 50.]], np.float32),
+                     gt_labels=np.array([0, 1]),
+                     _rng=np.random.RandomState(seed))
+            out = t(r)
+            h, w = out['img'].shape[:2]
+            assert out['img_shape'] == (h, w) or 'img_shape' not in out or \
+                tuple(out['img_shape']) == (h, w)
+            b = out['gt_bboxes']
+            if len(b):
+                assert b[:, 0::2].max() <= w + 1e-3
+                assert b[:, 1::2].max() <= h + 1e-3
+                assert (b[:, 2] >= b[:, 0]).all()
+            assert len(out['gt_bboxes']) == len(out['gt_labels'])

@@ -1,7 +1,9 @@
 from .transforms import (LoadImageFromFile, LoadAnnotations, Resize,
                          RandomFlip, Normalize, Pad, PhotoMetricDistortion,
-                         PackDetInputs, Compose, MultiScaleFlipAug)
+                         PackDetInputs, Compose, MultiScaleFlipAug,
+                         RandomCrop, Expand, MinIoURandomCrop, CutOut)
 
 __all__ = ['LoadImageFromFile', 'LoadAnnotations', 'Resize', 'RandomFlip',
            'Normalize', 'Pad', 'PhotoMetricDistortion', 'PackDetInputs',
-           'Compose', 'MultiScaleFlipAug']
+           'Compose', 'MultiScaleFlipAug', 'RandomCrop', 'Expand',
+           'MinIoURandomCrop', 'CutOut']

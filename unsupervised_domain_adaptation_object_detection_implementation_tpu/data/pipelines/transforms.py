@@ -299,3 +299,146 @@ class Compose:
             if results is None:
                 return None
         return results
+
+
+@PIPELINES.register_module()
+class RandomCrop:
+    """Random crop with box filtering (reference `pipelines/transforms.py:710`)."""
+
+    def __init__(self, crop_size, allow_negative_crop: bool = False):
+        self.crop_size = crop_size   # (h, w)
+        self.allow_negative_crop = allow_negative_crop
+
+    def __call__(self, results):
+        rng: np.random.RandomState = results.get('_rng', np.random)
+        img = results['img']
+        h, w = img.shape[:2]
+        ch, cw = min(self.crop_size[0], h), min(self.crop_size[1], w)
+        y0 = rng.randint(0, h - ch + 1)
+        x0 = rng.randint(0, w - cw + 1)
+        results['img'] = img[y0:y0 + ch, x0:x0 + cw]
+        results['img_shape'] = (ch, cw)
+        if 'gt_bboxes' in results:
+            boxes = results['gt_bboxes'] - np.array([x0, y0, x0, y0],
+                                                    np.float32)
+            boxes[:, 0::2] = boxes[:, 0::2].clip(0, cw)
+            boxes[:, 1::2] = boxes[:, 1::2].clip(0, ch)
+            keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+            if not keep.any() and not self.allow_negative_crop:
+                # revert (keeps at least one box — mmdet returns None;
+                # rejecting samples breaks fixed-length epochs, so keep orig)
+                results['img'] = img
+                results['img_shape'] = (h, w)
+                return results
+            results['gt_bboxes'] = boxes[keep]
+            results['gt_labels'] = results['gt_labels'][keep]
+        return results
+
+
+@PIPELINES.register_module()
+class Expand:
+    """Paste the image onto a larger mean-filled canvas
+    (reference `pipelines/transforms.py:1042`)."""
+
+    def __init__(self, mean=(123.675, 116.28, 103.53), ratio_range=(1, 4),
+                 prob: float = 0.5):
+        self.mean = np.asarray(mean, np.float32)
+        self.ratio_range = ratio_range
+        self.prob = prob
+
+    def __call__(self, results):
+        rng: np.random.RandomState = results.get('_rng', np.random)
+        if rng.rand() > self.prob:
+            return results
+        img = results['img']
+        h, w = img.shape[:2]
+        ratio = rng.uniform(*self.ratio_range)
+        eh, ew = int(h * ratio), int(w * ratio)
+        y0 = rng.randint(0, eh - h + 1)
+        x0 = rng.randint(0, ew - w + 1)
+        canvas = np.empty((eh, ew, 3), img.dtype)
+        canvas[...] = self.mean if img.dtype == np.float32 else \
+            self.mean.astype(img.dtype)
+        canvas[y0:y0 + h, x0:x0 + w] = img
+        results['img'] = canvas
+        results['img_shape'] = (eh, ew)
+        if 'gt_bboxes' in results:
+            results['gt_bboxes'] = results['gt_bboxes'] + \
+                np.array([x0, y0, x0, y0], np.float32)
+        return results
+
+
+@PIPELINES.register_module()
+class MinIoURandomCrop:
+    """IoU-constrained random crop (reference `pipelines/transforms.py:1134`)."""
+
+    def __init__(self, min_ious=(0.1, 0.3, 0.5, 0.7, 0.9),
+                 min_crop_size: float = 0.3, max_attempts: int = 50):
+        self.min_ious = (1.0,) + tuple(min_ious)
+        self.min_crop_size = min_crop_size
+        self.max_attempts = max_attempts
+
+    def __call__(self, results):
+        rng: np.random.RandomState = results.get('_rng', np.random)
+        img = results['img']
+        h, w = img.shape[:2]
+        boxes = results.get('gt_bboxes', np.zeros((0, 4), np.float32))
+        min_iou = self.min_ious[rng.randint(len(self.min_ious))]
+        if min_iou == 1.0 or len(boxes) == 0:
+            return results
+        for _ in range(self.max_attempts):
+            cw = int(rng.uniform(self.min_crop_size, 1.0) * w)
+            ch = int(rng.uniform(self.min_crop_size, 1.0) * h)
+            if cw / max(ch, 1) < 0.5 or cw / max(ch, 1) > 2:
+                continue
+            x0 = rng.randint(0, w - cw + 1)
+            y0 = rng.randint(0, h - ch + 1)
+            patch = np.array([x0, y0, x0 + cw, y0 + ch], np.float32)
+            lt = np.maximum(boxes[:, :2], patch[:2])
+            rb = np.minimum(boxes[:, 2:], patch[2:])
+            wh = np.maximum(rb - lt, 0)
+            inter = wh[:, 0] * wh[:, 1]
+            area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+            ious = inter / np.maximum(area, 1e-6)
+            if ious.min() < min_iou:
+                continue
+            ctr = (boxes[:, :2] + boxes[:, 2:]) / 2
+            keep = ((ctr[:, 0] > patch[0]) & (ctr[:, 0] < patch[2]) &
+                    (ctr[:, 1] > patch[1]) & (ctr[:, 1] < patch[3]))
+            if not keep.any():
+                continue
+            results['img'] = img[y0:y0 + ch, x0:x0 + cw]
+            results['img_shape'] = (ch, cw)
+            nb = boxes[keep] - np.array([x0, y0, x0, y0], np.float32)
+            nb[:, 0::2] = nb[:, 0::2].clip(0, cw)
+            nb[:, 1::2] = nb[:, 1::2].clip(0, ch)
+            results['gt_bboxes'] = nb
+            results['gt_labels'] = results['gt_labels'][keep]
+            return results
+        return results
+
+
+@PIPELINES.register_module()
+class CutOut:
+    """Random rectangular dropout (reference `pipelines/transforms.py:1871`)."""
+
+    def __init__(self, n_holes=1, cutout_ratio=(0.1, 0.2), fill_in=(0, 0, 0)):
+        self.n_holes = n_holes if isinstance(n_holes, tuple) else \
+            (n_holes, n_holes)
+        self.cutout_ratio = cutout_ratio
+        self.fill_in = fill_in
+
+    def __call__(self, results):
+        rng: np.random.RandomState = results.get('_rng', np.random)
+        img = results['img'].copy()
+        h, w = img.shape[:2]
+        n = rng.randint(self.n_holes[0], self.n_holes[1] + 1)
+        for _ in range(n):
+            rw = rng.uniform(*self.cutout_ratio)
+            rh = rng.uniform(*self.cutout_ratio)
+            cw, ch = int(w * rw), int(h * rh)
+            x0 = rng.randint(0, max(w - cw, 1))
+            y0 = rng.randint(0, max(h - ch, 1))
+            img[y0:y0 + ch, x0:x0 + cw] = self.fill_in
+        results['img'] = img
+        return results
