@@ -70,3 +70,23 @@ def test_bbox2result_format():
     assert res[0].shape == (1, 5)
     assert res[1].shape == (1, 5)
     assert res[0][0, 4] == pytest.approx(0.9)
+
+
+def test_distance_coder_roundtrip():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.core.bbox import (
+        distance2bbox, bbox2distance)
+    pts = jnp.array([[50., 50.], [20., 80.]])
+    boxes = jnp.array([[40., 30., 70., 90.], [10., 60., 35., 95.]])
+    d = bbox2distance(pts, boxes)
+    rec = distance2bbox(pts, d)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(boxes), atol=1e-5)
+
+
+def test_tblr_coder_roundtrip():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.core.bbox import (
+        bbox2tblr, tblr2bbox)
+    priors = jnp.array([[40., 40., 60., 60.]])
+    gts = jnp.array([[35., 30., 70., 65.]])
+    enc = bbox2tblr(priors, gts)
+    rec = tblr2bbox(priors, enc)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(gts), atol=1e-4)

@@ -258,3 +258,23 @@ def test_swin_backbone_and_deepalign_swin():
     for key, v_ in losses.items():
         assert np.isfinite(float(v_)), key
     assert 'globle_da_loss' in losses and 'patch_bottom_loss' in losses
+
+
+def test_fcos_forward():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.fcos import FCOS
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.dense_heads.anchor_head import (
+        DensePredictConfig)
+    model = FCOS(backbone_depth=18, num_classes=3,
+                 test_cfg=DensePredictConfig(nms_pre=200, max_per_img=10,
+                                             nms_tile=128))
+    batch = demo_batch(h=64, w=64)
+    variables = init_model(model, batch)
+    k = jax.random.PRNGKey(1)
+    losses, _ = model.apply(variables, batch, train=True,
+                            rngs={'sampler': k, 'dropout': k},
+                            mutable=['batch_stats'])
+    assert set(losses) == {'loss_cls', 'loss_bbox', 'loss_centerness'}
+    for key, v in losses.items():
+        assert np.isfinite(float(v)), key
+    dets = model.apply(variables, batch, train=False)
+    assert dets['dets'].shape == (2, 10, 5)

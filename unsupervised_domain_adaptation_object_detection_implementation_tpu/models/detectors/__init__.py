@@ -3,5 +3,6 @@ from .da_faster_rcnn import DAFasterRCNN, DALossWeights
 from .cyda_faster_rcnn import CyDAFasterRCNN, DISC_KEYS
 from .retinanet import RetinaNet, RetinaHead
 from .faster_rcnn_fpn import FasterRCNNFPN, FPNRPNHead
+from .fcos import FCOS, FCOSHead
 
-__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead']
+__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead']
