@@ -13,3 +13,5 @@ __all__ += ['save_checkpoint', 'load_checkpoint', 'latest_checkpoint',
             'convert_torch_resnet', 'load_pretrained_backbone']
 from .profiling import profile_time, measure_fps, sync, trace
 __all__ += ['profile_time', 'measure_fps', 'sync', 'trace']
+from .logger import get_root_logger, collect_env
+__all__ += ['get_root_logger', 'collect_env']
