@@ -278,3 +278,29 @@ def test_fcos_forward():
         assert np.isfinite(float(v)), key
     dets = model.apply(variables, batch, train=False)
     assert dets['dets'].shape == (2, 10, 5)
+
+
+def test_cascade_rcnn_forward():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.cascade_rcnn import (
+        CascadeRCNN)
+    model = CascadeRCNN(
+        backbone_depth=18, num_classes=3, num_samples=16,
+        rpn_proposal_cfg=ProposalConfig(nms_pre=256, max_per_img=32,
+                                        nms_tile=128),
+        rpn_test_cfg=ProposalConfig(nms_pre=256, max_per_img=32,
+                                    nms_tile=128),
+        roi_test_cfg=RoITestConfig(max_per_img=8, nms_pre=128, nms_tile=128))
+    batch = demo_batch(h=64, w=64)
+    variables = init_model(model, batch)
+    k = jax.random.PRNGKey(1)
+    losses, _ = model.apply(variables, batch, train=True,
+                            rngs={'sampler': k, 'dropout': k},
+                            mutable=['batch_stats'])
+    # rpn + 3 stages x (cls, bbox)
+    assert {'loss_rpn_cls', 'loss_rpn_bbox', 's0.loss_cls', 's1.loss_cls',
+            's2.loss_cls', 's0.loss_bbox', 's1.loss_bbox',
+            's2.loss_bbox'} <= set(losses)
+    for key, v in losses.items():
+        assert np.isfinite(float(v)), key
+    dets = model.apply(variables, batch, train=False)
+    assert dets['dets'].shape == (2, 8, 5)

@@ -50,7 +50,7 @@ class CocoDataset(CustomDataset):
             anns_by_img[a['image_id']].append(a)
         infos = []
         for img in coco['images']:
-            bboxes, labels = [], []
+            bboxes, labels, masks = [], [], []
             bboxes_ignore = []
             for a in anns_by_img[img['id']]:
                 if a.get('ignore') or a['category_id'] not in catid2label:
@@ -62,12 +62,15 @@ class CocoDataset(CustomDataset):
                 else:
                     bboxes.append(box)
                     labels.append(catid2label[a['category_id']])
+                    seg = a.get('segmentation')
+                    masks.append(seg if isinstance(seg, list) else [])
             ann = dict(
                 bboxes=np.asarray(bboxes, np.float32).reshape(-1, 4),
                 labels=np.asarray(labels, np.int64),
                 bboxes_ignore=np.asarray(bboxes_ignore,
                                          np.float32).reshape(-1, 4),
                 labels_ignore=np.zeros((len(bboxes_ignore),), np.int64),
+                masks=masks,
             )
             infos.append(dict(id=img['id'], filename=img['file_name'],
                               width=img['width'], height=img['height'],

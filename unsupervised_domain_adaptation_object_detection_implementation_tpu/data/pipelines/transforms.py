@@ -70,11 +70,34 @@ class LoadImageFromFile:
 
 @PIPELINES.register_module()
 class LoadAnnotations:
-    """Reference `LoadAnnotations` (`pipelines/loading.py:202`), bbox only."""
+    """Reference `LoadAnnotations` (`pipelines/loading.py:202`).
 
-    def __init__(self, with_bbox: bool = True, with_label: bool = True):
+    `with_mask=True` rasterizes each instance's polygons into a fixed
+    `mask_size`² BOX-FRAME raster (the TPU-native replacement for ragged
+    `BitmapMasks` — see `models/roi_heads/mask_head.py`).
+    """
+
+    def __init__(self, with_bbox: bool = True, with_label: bool = True,
+                 with_mask: bool = False, mask_size: int = 112):
         self.with_bbox = with_bbox
         self.with_label = with_label
+        self.with_mask = with_mask
+        self.mask_size = mask_size
+
+    def _rasterize(self, polygons, box):
+        from PIL import Image, ImageDraw
+        m = self.mask_size
+        x1, y1, x2, y2 = box
+        sx = m / max(x2 - x1, 1e-3)
+        sy = m / max(y2 - y1, 1e-3)
+        img = Image.new('L', (m, m), 0)
+        draw = ImageDraw.Draw(img)
+        for poly in polygons:
+            pts = [((px - x1) * sx, (py - y1) * sy)
+                   for px, py in zip(poly[0::2], poly[1::2])]
+            if len(pts) >= 3:
+                draw.polygon(pts, fill=1)
+        return np.asarray(img, np.uint8)
 
     def __call__(self, results):
         ann = results['ann_info']
@@ -85,6 +108,15 @@ class LoadAnnotations:
                     ann['bboxes_ignore'].astype(np.float32).reshape(-1, 4)
         if self.with_label:
             results['gt_labels'] = ann['labels'].astype(np.int64).reshape(-1)
+        if self.with_mask:
+            polys = ann.get('masks', [])
+            boxes = results['gt_bboxes']
+            rasters = np.zeros((len(boxes), self.mask_size, self.mask_size),
+                               np.uint8)
+            for i, box in enumerate(boxes):
+                if i < len(polys) and polys[i]:
+                    rasters[i] = self._rasterize(polys[i], box)
+            results['gt_masks'] = rasters
         return results
 
 
@@ -144,6 +176,9 @@ class RandomFlip:
                 boxes[:, 0] = w - results['gt_bboxes'][:, 2]
                 boxes[:, 2] = w - results['gt_bboxes'][:, 0]
                 results['gt_bboxes'] = boxes
+            if 'gt_masks' in results:
+                # box-frame rasters flip with the image
+                results['gt_masks'] = results['gt_masks'][:, :, ::-1]
         return results
 
 
@@ -234,8 +269,9 @@ class PackDetInputs:
     meta becomes fixed-size numeric arrays.
     """
 
-    def __init__(self, max_gt: int = 100):
+    def __init__(self, max_gt: int = 100, with_mask: bool = False):
         self.max_gt = max_gt
+        self.with_mask = with_mask
 
     def __call__(self, results):
         img = results['img'].astype(np.float32)
@@ -247,7 +283,16 @@ class PackDetInputs:
             gt_bboxes[:n] = results['gt_bboxes'][:n]
             gt_labels[:n] = results['gt_labels'][:n]
             gt_valid[:n] = True
+        extra = {}
+        if self.with_mask:
+            m = results.get('gt_masks')
+            msize = m.shape[-1] if m is not None and m.size else 112
+            packed = np.zeros((self.max_gt, msize, msize), np.uint8)
+            if m is not None and n:
+                packed[:n] = m[:n]
+            extra['gt_masks'] = packed
         return dict(
+            **extra,
             image=img,
             img_shape=np.asarray(results['img_shape'], np.int32),
             ori_shape=np.asarray(results['ori_shape'], np.int32),

@@ -4,5 +4,7 @@ from .cyda_faster_rcnn import CyDAFasterRCNN, DISC_KEYS
 from .retinanet import RetinaNet, RetinaHead
 from .faster_rcnn_fpn import FasterRCNNFPN, FPNRPNHead
 from .fcos import FCOS, FCOSHead
+from .mask_rcnn import MaskRCNN, paste_masks
+from .cascade_rcnn import CascadeRCNN
 
-__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead']
+__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN']

@@ -1,0 +1,154 @@
+"""Mask R-CNN (reference `mmdet/models/detectors/mask_rcnn.py` +
+`StandardRoIHead` with mask branch).
+
+FasterRCNN-FPN plus an FCN mask head. Mask targets come from box-frame gt
+rasters (see `roi_heads/mask_head.py`) — no ragged BitmapMasks anywhere.
+Prediction returns per-detection 28×28 mask logits; pasting to image
+resolution happens on the host (`paste_masks`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.anchors.anchor_generator import AnchorGenerator
+from ...utils.registry import DETECTORS
+from ..backbones.resnet import ResNet
+from ..dense_heads.anchor_head import flatten_level_preds
+from ..dense_heads.rpn_head import (ProposalConfig, RPNTrainConfig, rpn_loss,
+                                    rpn_proposals)
+from ..necks.fpn import FPN
+from ..roi_heads.bbox_head import Shared2FCBBoxHead
+from ..roi_heads.mask_head import (FCNMaskHead, mask_loss,
+                                   mask_targets_from_box_frame)
+from ..roi_heads.standard_roi_head import (RoITestConfig, RoITrainConfig,
+                                           bbox_loss, extract_roi_feats_fpn,
+                                           roi_head_predict, sample_rois)
+from .faster_rcnn_fpn import FPNRPNHead
+
+
+@DETECTORS.register_module()
+class MaskRCNN(nn.Module):
+    num_classes: int = 80
+    backbone_depth: int = 50
+    frozen_stages: int = 1
+    rpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    rpn_train_cfg: RPNTrainConfig = RPNTrainConfig()
+    rpn_proposal_cfg: ProposalConfig = ProposalConfig(nms_pre=4096,
+                                                      max_per_img=1000)
+    rpn_test_cfg: ProposalConfig = ProposalConfig(nms_pre=4096,
+                                                  max_per_img=1000)
+    roi_train_cfg: RoITrainConfig = RoITrainConfig(use_sigmoid_cls=False)
+    roi_test_cfg: RoITestConfig = RoITestConfig()
+    mask_size: int = 28
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet(
+            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+            dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
+            frozen_stages=self.frozen_stages, dtype=self.dtype)
+        self.neck = FPN(in_channels=self.backbone.stage_channels(),
+                        out_channels=256, num_outs=5, dtype=self.dtype)
+        self.rpn_head = FPNRPNHead(dtype=self.dtype)
+        self.bbox_head = Shared2FCBBoxHead(
+            num_classes=self.num_classes, in_channels=256, dtype=self.dtype)
+        self.mask_head = FCNMaskHead(num_classes=self.num_classes,
+                                     dtype=self.dtype)
+
+    def _flat_rpn(self, image):
+        feats = self.neck(self.backbone(image.astype(self.dtype)))
+        cls_levels, reg_levels = self.rpn_head(feats)
+        sizes = [(f.shape[-3], f.shape[-2]) for f in feats]
+        gen = AnchorGenerator(strides=list(self.rpn_strides),
+                              ratios=[0.5, 1.0, 2.0], scales=[8])
+        anchors = jnp.asarray(np.concatenate(gen.grid_priors(sizes), axis=0))
+        cls = flatten_level_preds(cls_levels, 1)[..., 0]
+        reg = flatten_level_preds(reg_levels, 4)
+        return feats, cls, reg, anchors
+
+    def loss(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        feats, cls, reg, anchors = self._flat_rpn(batch['image'])
+        b, n = cls.shape
+        losses = rpn_loss(cls.reshape(b, n, 1, 1), reg.reshape(b, n, 1, 4),
+                          anchors, batch['gt_bboxes'], batch['gt_valid'],
+                          batch['img_shape'], self.make_rng('sampler'),
+                          self.rpn_train_cfg)
+        proposals, _, prop_valid = rpn_proposals(
+            jax.lax.stop_gradient(cls).reshape(b, n, 1, 1),
+            jax.lax.stop_gradient(reg).reshape(b, n, 1, 4),
+            anchors, batch['img_shape'], self.rpn_proposal_cfg)
+        sampled = sample_rois(proposals, prop_valid, batch['gt_bboxes'],
+                              batch['gt_labels'], batch['gt_valid'],
+                              self.make_rng('sampler'), self.num_classes,
+                              self.roi_train_cfg)
+        roi_feats = extract_roi_feats_fpn(feats, sampled.rois)
+        cls_s, reg_s, _ = self.bbox_head(roi_feats)
+        losses.update(bbox_loss(cls_s, reg_s, sampled, self.num_classes,
+                                self.roi_train_cfg))
+        # mask branch on the SAME sampled RoIs (positives weighted) — a
+        # static-shape simplification of mmdet's pos-only mask forward
+        mask_feats = extract_roi_feats_fpn(feats, sampled.rois,
+                                           out_size=self.mask_size // 2)
+        mask_logits = self.mask_head(mask_feats)
+        targets = mask_targets_from_box_frame(
+            batch['gt_masks'], batch['gt_bboxes'], sampled.rois,
+            sampled.matched_gt, self.mask_size)
+        pos_w = (sampled.is_pos & sampled.label_valid).astype(jnp.float32)
+        losses.update(mask_loss(mask_logits, targets, sampled.labels, pos_w))
+        return losses
+
+    def predict(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        feats, cls, reg, anchors = self._flat_rpn(batch['image'])
+        b, n = cls.shape
+        proposals, _, prop_valid = rpn_proposals(
+            cls.reshape(b, n, 1, 1), reg.reshape(b, n, 1, 4), anchors,
+            batch['img_shape'], self.rpn_test_cfg)
+        out = roi_head_predict(
+            self.bbox_head, feats, proposals, prop_valid, batch['img_shape'],
+            self.num_classes, featmap_stride=0,
+            reg_class_agnostic=False,
+            target_stds=self.roi_train_cfg.target_stds,
+            use_sigmoid_cls=self.roi_train_cfg.use_sigmoid_cls,
+            cfg=self.roi_test_cfg,
+            roi_extractor=lambda f, r: extract_roi_feats_fpn(f, r))
+        # mask logits for the final detections
+        det_boxes = out['dets'][..., :4]
+        mask_feats = extract_roi_feats_fpn(feats, det_boxes,
+                                           out_size=self.mask_size // 2)
+        mask_logits = self.mask_head(mask_feats)       # (B, D, 2s, 2s, C)
+        lbl = jnp.clip(out['labels'], 0, self.num_classes - 1)
+        sel = jnp.take_along_axis(
+            mask_logits, lbl[..., None, None, None], axis=-1)[..., 0]
+        out['masks'] = jax.nn.sigmoid(sel.astype(jnp.float32))
+        return out
+
+    def __call__(self, batch, train: bool = True):
+        if train:
+            return self.loss(batch)
+        return self.predict(batch)
+
+
+def paste_masks(masks: np.ndarray, boxes: np.ndarray, img_h: int,
+                img_w: int, thr: float = 0.5) -> np.ndarray:
+    """Host-side mask pasting (reference `FCNMaskHead.get_seg_masks`):
+    (D, m, m) probs + (D, 4) boxes → (D, img_h, img_w) bool."""
+    from PIL import Image
+    out = np.zeros((len(masks), img_h, img_w), bool)
+    for i, (m, box) in enumerate(zip(masks, boxes)):
+        x1, y1, x2, y2 = [int(round(v)) for v in box]
+        w = max(x2 - x1, 1)
+        h = max(y2 - y1, 1)
+        resized = np.asarray(Image.fromarray(
+            (m * 255).astype(np.uint8)).resize((w, h), Image.BILINEAR))
+        xs, ys = max(x1, 0), max(y1, 0)
+        xe, ye = min(x2, img_w), min(y2, img_h)
+        if xe > xs and ye > ys:
+            crop = resized[ys - y1:ye - y1, xs - x1:xe - x1]
+            out[i, ys:ye, xs:xe] = crop >= thr * 255
+    return out

@@ -59,6 +59,7 @@ class SampledRoIs(NamedTuple):
     label_valid: jnp.ndarray   # (B, S) slot holds a real sample
     is_pos: jnp.ndarray        # (B, S)
     reg_targets: jnp.ndarray   # (B, S, 4)
+    matched_gt: jnp.ndarray    # (B, S) index of matched gt (0 if none)
 
 
 def sample_rois(proposals: jnp.ndarray,
@@ -93,7 +94,8 @@ def sample_rois(proposals: jnp.ndarray,
         reg_targets = bbox2delta(rois, gt[matched], cfg.target_means,
                                  cfg.target_stds)
         return SampledRoIs(rois, labels.astype(jnp.int32), sample.valid,
-                           sample.is_pos, reg_targets)
+                           sample.is_pos, reg_targets,
+                           matched.astype(jnp.int32))
 
     rngs = jax.random.split(rng, b)
     return jax.vmap(per_image)(proposals, prop_valid, gt_bboxes, gt_labels,
