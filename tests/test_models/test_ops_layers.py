@@ -160,3 +160,48 @@ def test_roi_align_pallas_matches_xla():
     got = roi_align_pallas(feat, rois, 1 / 16, roi_chunk=16, c_slab=128,
                            interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_resnext_mobilenet_darknet_pafpn():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.backbones import (
+        ResNet, MobileNetV2, Darknet53)
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.necks import PAFPN
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((1, 64, 64, 3))
+    # ResNeXt-50 32x4d
+    rx = ResNet(depth=50, groups=32, base_width=4, out_indices=(3,))
+    v = rx.init(key, x)
+    (out,) = rx.apply(v, x)
+    assert out.shape == (1, 2, 2, 2048)
+    # MobileNetV2
+    mb = MobileNetV2()
+    v = mb.init(key, x)
+    outs = mb.apply(v, x)
+    assert [o.shape[-1] for o in outs] == [24, 32, 96, 320]
+    assert outs[0].shape[1] == 16 and outs[3].shape[1] == 2
+    # Darknet53
+    dk = Darknet53()
+    v = dk.init(key, x)
+    outs = dk.apply(v, x)
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024]
+    # PAFPN over resnet stages
+    feats = tuple(jnp.ones((1, 64 // s, 64 // s, c)) for s, c in
+                  [(4, 256), (8, 512), (16, 1024), (32, 2048)])
+    neck = PAFPN()
+    v = neck.init(key, feats)
+    outs = neck.apply(v, feats)
+    assert len(outs) == 5
+    assert all(o.shape[-1] == 256 for o in outs)
+
+
+def test_extra_losses():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.losses import (
+        balanced_l1_loss, gaussian_focal_loss)
+    pred = jnp.array([0.5, 2.0])
+    tgt = jnp.zeros((2,))
+    out = balanced_l1_loss(pred, tgt, reduction='none')
+    assert np.all(np.isfinite(np.asarray(out))) and float(out[1]) > float(out[0])
+    p = jnp.array([[0.9, 0.1]])
+    t = jnp.array([[1.0, 0.0]])
+    g = gaussian_focal_loss(p, t, reduction='none')
+    assert np.all(np.asarray(g) >= 0)

@@ -1,5 +1,7 @@
 from .resnet import ResNet, Bottleneck, BasicBlock
 from .da_resnet import DAResNet, Tap, VARIANT_TAPS
+from .swin import SwinTransformer
+from .misc_backbones import MobileNetV2, Darknet53
 
 __all__ = ['ResNet', 'Bottleneck', 'BasicBlock', 'DAResNet', 'Tap',
-           'VARIANT_TAPS']
+           'VARIANT_TAPS', 'SwinTransformer', 'MobileNetV2', 'Darknet53']

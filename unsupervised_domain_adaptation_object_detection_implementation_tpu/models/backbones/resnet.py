@@ -28,28 +28,37 @@ from ..layers.norm import FrozenBatchNorm
 
 
 class Bottleneck(nn.Module):
-    """1x1 → 3x3(stride/dilation) → 1x1 with residual — 'pytorch' style
-    (stride on the 3x3, reference resnet.py Bottleneck)."""
+    """1x1 → 3x3(stride/dilation[/groups]) → 1x1 with residual — 'pytorch'
+    style (stride on the 3x3, reference resnet.py Bottleneck). With
+    `groups`/`base_width` set this is the ResNeXt bottleneck
+    (reference `mmdet/models/backbones/resnext.py`)."""
 
     planes: int
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    groups: int = 1
+    base_width: int = 4
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+        if self.groups == 1:
+            width = self.planes
+        else:
+            width = int(self.planes * (self.base_width / 64)) * self.groups
+        out = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
                       name='conv1')(x)
-        out = FrozenBatchNorm(self.planes, name='bn1')(out)
+        out = FrozenBatchNorm(width, name='bn1')(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+        out = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
                       kernel_dilation=(self.dilation, self.dilation),
                       padding=[(self.dilation, self.dilation)] * 2,
+                      feature_group_count=self.groups,
                       use_bias=False, dtype=self.dtype, name='conv2')(out)
-        out = FrozenBatchNorm(self.planes, name='bn2')(out)
+        out = FrozenBatchNorm(width, name='bn2')(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
                       dtype=self.dtype, name='conv3')(out)
@@ -113,6 +122,8 @@ class ResNet(nn.Module):
     dilations: Sequence[int] = (1, 1, 1, 1)
     out_indices: Sequence[int] = (0, 1, 2, 3)
     frozen_stages: int = -1
+    groups: int = 1          # >1 + base_width → ResNeXt
+    base_width: int = 4
     dtype: jnp.dtype = jnp.float32
 
     def stage_channels(self) -> Tuple[int, ...]:
@@ -142,6 +153,10 @@ class ResNet(nn.Module):
                 first = b == 0
                 in_ch = x.shape[-1]
                 out_ch = planes * (4 if block_cls is Bottleneck else 1)
+                kwargs = {}
+                if block_cls is Bottleneck:
+                    kwargs = dict(groups=self.groups,
+                                  base_width=self.base_width)
                 x = block_cls(
                     planes=planes,
                     stride=self.strides[i] if first else 1,
@@ -149,7 +164,7 @@ class ResNet(nn.Module):
                     downsample=first and (self.strides[i] != 1 or
                                           in_ch != out_ch),
                     dtype=self.dtype,
-                    name=f'layer{i + 1}/{b}')(x)
+                    name=f'layer{i + 1}/{b}', **kwargs)(x)
             if self.frozen_stages >= i + 1:
                 x = jax.lax.stop_gradient(x)
             stage_outs.append(x)

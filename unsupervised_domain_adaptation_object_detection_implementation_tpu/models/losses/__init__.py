@@ -1,8 +1,10 @@
 from .utils import weight_reduce_loss, reduce_loss
 from .cross_entropy_loss import (binary_cross_entropy, cross_entropy,
                                  softmax_cross_entropy, CrossEntropyLoss)
-from .smooth_l1_loss import smooth_l1_loss, l1_loss, SmoothL1Loss, L1Loss
-from .focal_loss import sigmoid_focal_loss, py_focal_loss_with_prob, FocalLoss
+from .smooth_l1_loss import (smooth_l1_loss, l1_loss, balanced_l1_loss,
+                             SmoothL1Loss, L1Loss, BalancedL1Loss)
+from .focal_loss import (sigmoid_focal_loss, py_focal_loss_with_prob,
+                         gaussian_focal_loss, FocalLoss, GaussianFocalLoss)
 from .iou_loss import iou_loss, giou_loss, diou_loss, ciou_loss, IoULoss, GIoULoss
 from .accuracy import accuracy
 from .gan_loss import gan_lsgan_loss, cycle_consistency_loss
@@ -10,8 +12,10 @@ from .gan_loss import gan_lsgan_loss, cycle_consistency_loss
 __all__ = [
     'weight_reduce_loss', 'reduce_loss', 'binary_cross_entropy',
     'cross_entropy', 'softmax_cross_entropy', 'CrossEntropyLoss',
-    'smooth_l1_loss', 'l1_loss', 'SmoothL1Loss', 'L1Loss',
-    'sigmoid_focal_loss', 'py_focal_loss_with_prob', 'FocalLoss', 'iou_loss',
-    'giou_loss', 'diou_loss', 'ciou_loss', 'IoULoss', 'GIoULoss', 'accuracy',
-    'gan_lsgan_loss', 'cycle_consistency_loss'
+    'smooth_l1_loss', 'l1_loss', 'balanced_l1_loss', 'SmoothL1Loss',
+    'L1Loss', 'BalancedL1Loss', 'sigmoid_focal_loss',
+    'py_focal_loss_with_prob', 'gaussian_focal_loss', 'FocalLoss',
+    'GaussianFocalLoss', 'iou_loss', 'giou_loss', 'diou_loss', 'ciou_loss',
+    'IoULoss', 'GIoULoss', 'accuracy', 'gan_lsgan_loss',
+    'cycle_consistency_loss'
 ]

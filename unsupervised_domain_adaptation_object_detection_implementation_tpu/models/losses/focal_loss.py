@@ -86,3 +86,34 @@ class FocalLoss:
         fn = py_focal_loss_with_prob if self.activated else sigmoid_focal_loss
         return self.loss_weight * fn(pred, target, weight, self.gamma,
                                      self.alpha, reduction, avg_factor)
+
+
+def gaussian_focal_loss(pred_prob: jnp.ndarray,
+                        gaussian_target: jnp.ndarray,
+                        weight=None, alpha: float = 2.0, gamma: float = 4.0,
+                        reduction: str = 'mean', avg_factor=None):
+    """Gaussian-heatmap focal loss (CornerNet/CenterNet; reference
+    `losses/gaussian_focal_loss.py`). `pred_prob` already sigmoid-activated."""
+    eps = 1e-12
+    pos_w = (gaussian_target == 1).astype(pred_prob.dtype)
+    neg_w = (1 - gaussian_target)**gamma
+    pos = -jnp.log(pred_prob + eps) * (1 - pred_prob)**alpha * pos_w
+    neg = -jnp.log(1 - pred_prob + eps) * pred_prob**alpha * neg_w * \
+        (1 - pos_w)
+    return weight_reduce_loss(pos + neg, weight, reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class GaussianFocalLoss:
+    def __init__(self, alpha=2.0, gamma=4.0, reduction='mean',
+                 loss_weight=1.0):
+        self.alpha, self.gamma = alpha, gamma
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
+        reduction = reduction_override or self.reduction
+        return self.loss_weight * gaussian_focal_loss(
+            pred, target, weight, self.alpha, self.gamma, reduction,
+            avg_factor)

@@ -50,3 +50,34 @@ class L1Loss:
                  reduction_override=None):
         reduction = reduction_override or self.reduction
         return self.loss_weight * l1_loss(pred, target, weight, reduction, avg_factor)
+
+
+def balanced_l1_loss(pred, target, weight=None, beta: float = 1.0,
+                     alpha: float = 0.5, gamma: float = 1.5,
+                     reduction='mean', avg_factor=None):
+    """Balanced L1 (Libra R-CNN; reference `losses/balanced_l1_loss.py`)."""
+    import numpy as _np
+    diff = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    b = _np.e**(gamma / alpha) - 1
+    loss = jnp.where(
+        diff < beta,
+        alpha / b * (b * diff + 1) * jnp.log(b * diff / beta + 1) -
+        alpha * diff,
+        gamma * diff + gamma / b - alpha * beta)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class BalancedL1Loss:
+    def __init__(self, alpha=0.5, gamma=1.5, beta=1.0, reduction='mean',
+                 loss_weight=1.0):
+        self.alpha, self.gamma, self.beta = alpha, gamma, beta
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
+        reduction = reduction_override or self.reduction
+        return self.loss_weight * balanced_l1_loss(
+            pred, target, weight, self.beta, self.alpha, self.gamma,
+            reduction, avg_factor)
