@@ -304,3 +304,38 @@ def test_cascade_rcnn_forward():
         assert np.isfinite(float(v)), key
     dets = model.apply(variables, batch, train=False)
     assert dets['dets'].shape == (2, 8, 5)
+
+
+def test_dp_tp_mesh_train_step():
+    """2-D (data × model) mesh: batch sharded on data, bbox-head FCs
+    tensor-parallel on model — GSPMD inserts the collectives."""
+    import numpy as onp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.parallel.shardings import (
+        param_shardings)
+    assert len(jax.devices()) >= 8
+    devices = onp.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ('data', 'model'))
+    model = DAFasterRCNN(**SMALL)
+    batch = demo_batch(b=8)
+    variables = init_model(model, batch)
+    state, tx = create_train_state(model, variables, OptimizerSpec())
+    step = jax.jit(make_train_step(model, tx))
+    with mesh:
+        p_shard = param_shardings(state.params, mesh)
+        params = jax.tree_util.tree_map(jax.device_put, state.params, p_shard)
+        fc1 = params['bbox_head']['shared_fc1']['kernel']
+        assert not fc1.sharding.is_fully_replicated  # actually TP-sharded
+        repl = NamedSharding(mesh, P())
+        state = state._replace(
+            params=params,
+            batch_stats=jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, repl), state.batch_stats),
+            opt_state=jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, repl), state.opt_state),
+            step=jax.device_put(state.step, repl))
+        sharded = {k: jax.device_put(onp.asarray(v),
+                                     NamedSharding(mesh, P('data')))
+                   for k, v in batch.items()}
+        new_state, metrics = step(state, sharded, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics['loss']))

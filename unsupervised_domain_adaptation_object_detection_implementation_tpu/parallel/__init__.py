@@ -1,7 +1,9 @@
 from .mesh import (make_mesh, batch_sharding, replicated, shard_batch,
                    replicate_state)
 from .multihost import init_multihost, global_batch_from_host_data
+from .shardings import param_shardings, shard_train_state
 
 __all__ = ['make_mesh', 'batch_sharding', 'replicated', 'shard_batch',
            'replicate_state', 'init_multihost',
-           'global_batch_from_host_data']
+           'global_batch_from_host_data', 'param_shardings',
+           'shard_train_state']
