@@ -99,3 +99,20 @@ def test_random_sample_not_enough_total():
     res = random_sample(rng, assigned, num=8, pos_fraction=0.5)
     valid = np.asarray(res.valid)
     assert valid.sum() == 3  # 1 pos + 2 neg available
+
+
+def test_atss_assign_basic():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.core.bbox import atss_assign
+    # 2 levels of a tiny grid; one gt centered on anchor 0 of level 0
+    anchors = jnp.array([
+        [0., 0., 16., 16.], [16., 0., 32., 16.],     # level 0
+        [0., 0., 32., 32.], [32., 0., 64., 32.],     # level 1
+    ])
+    g, l_, v = jnp.array([[2., 2., 14., 14.]]), jnp.array([1]), jnp.array([True])
+    res = atss_assign(anchors, (2, 2), g, v, l_, topk=1)
+    a = np.asarray(res.assigned_gt_inds)
+    assert a[0] == 1          # the overlapping small anchor is positive
+    assert np.asarray(res.labels)[0] == 1
+    # empty gt → all background
+    res2 = atss_assign(anchors, (2, 2), g, jnp.array([False]), l_, topk=1)
+    assert np.asarray(res2.assigned_gt_inds).max() == 0

@@ -339,3 +339,44 @@ def test_dp_tp_mesh_train_step():
                    for k, v in batch.items()}
         new_state, metrics = step(state, sharded, jax.random.PRNGKey(0))
         assert np.isfinite(float(metrics['loss']))
+
+
+def test_yolov3_forward():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.yolov3 import (
+        YOLOV3)
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.dense_heads.anchor_head import (
+        DensePredictConfig)
+    model = YOLOV3(num_classes=3,
+                   test_cfg=DensePredictConfig(nms_pre=200, max_per_img=10,
+                                               nms_tile=128))
+    batch = demo_batch(h=64, w=64)
+    variables = init_model(model, batch)
+    k = jax.random.PRNGKey(1)
+    losses, _ = model.apply(variables, batch, train=True,
+                            rngs={'sampler': k, 'dropout': k},
+                            mutable=['batch_stats'])
+    assert set(losses) == {'loss_conf', 'loss_xy', 'loss_wh', 'loss_cls'}
+    for key, v in losses.items():
+        assert np.isfinite(float(v)), key
+    dets = model.apply(variables, batch, train=False)
+    assert dets['dets'].shape == (2, 10, 5)
+
+
+def test_atss_forward():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.atss import ATSS
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.dense_heads.anchor_head import (
+        DensePredictConfig)
+    model = ATSS(backbone_depth=18, num_classes=3, topk=4,
+                 test_cfg=DensePredictConfig(nms_pre=200, max_per_img=10,
+                                             nms_tile=128))
+    batch = demo_batch(h=64, w=64)
+    variables = init_model(model, batch)
+    k = jax.random.PRNGKey(1)
+    losses, _ = model.apply(variables, batch, train=True,
+                            rngs={'sampler': k, 'dropout': k},
+                            mutable=['batch_stats'])
+    assert set(losses) == {'loss_cls', 'loss_bbox', 'loss_centerness'}
+    for key, v in losses.items():
+        assert np.isfinite(float(v)), key
+    dets = model.apply(variables, batch, train=False)
+    assert dets['dets'].shape == (2, 10, 5)

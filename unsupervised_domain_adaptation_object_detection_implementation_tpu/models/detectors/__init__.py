@@ -6,5 +6,7 @@ from .faster_rcnn_fpn import FasterRCNNFPN, FPNRPNHead
 from .fcos import FCOS, FCOSHead
 from .mask_rcnn import MaskRCNN, paste_masks
 from .cascade_rcnn import CascadeRCNN
+from .yolov3 import YOLOV3, YOLOV3Neck
+from .atss import ATSS, ATSSHead
 
-__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN']
+__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead']
