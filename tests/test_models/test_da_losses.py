@@ -122,3 +122,63 @@ def test_grl_adversarial_direction_in_head():
     g_without = jax.grad(loss_no_grl)(x)
     np.testing.assert_allclose(np.asarray(g_with), -np.asarray(g_without),
                                atol=1e-6)
+
+
+def test_quirk_detach_blocks_trunk_gradients():
+    """quirk_detach=True reproduces the reference's detached DA losses
+    (`DAFaster_rcnn.py:325`, `resnet_da.py:846-849`): no gradient reaches
+    the trunk through global/grouped-instance terms."""
+    import jax
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models import DAFasterRCNN
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.dense_heads.rpn_head import (
+        ProposalConfig)
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.roi_heads.standard_roi_head import (
+        RoITrainConfig, RoITestConfig)
+    from .test_forward import demo_batch, SMALL, init_model
+
+    batch = demo_batch()
+    batch = dict(batch, domain=jnp.ones((2,), jnp.int32))  # target-only rows
+    for quirk, expect_zero in [(True, True), (False, False)]:
+        model = DAFasterRCNN(quirk_detach=quirk, **SMALL)
+        variables = init_model(model, batch)
+        k = jax.random.PRNGKey(1)
+
+        def da_only_loss(params):
+            out, _ = model.apply(
+                {'params': params,
+                 'batch_stats': variables['batch_stats']},
+                batch, train=True, rngs={'sampler': k, 'dropout': k},
+                mutable=['batch_stats'])
+            # supervised losses are 0 (all-target) → total = DA terms only
+            return out['globle_da_loss'] + out['local_da_loss']
+
+        g = jax.grad(da_only_loss)(variables['params'])
+        trunk = g['backbone']['trunk']
+        l4 = next(kk for kk in trunk if kk.startswith('layer4'))
+        gmax = max(float(np.abs(np.asarray(v)).max())
+                   for v in jax.tree_util.tree_leaves(trunk[l4]))
+        if expect_zero:
+            assert gmax == 0.0
+        else:
+            assert gmax > 0.0
+
+
+def test_train_step_determinism():
+    """Same seed → bitwise-identical metrics (set_random_seed equivalent)."""
+    import jax
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models import DAFasterRCNN
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.apis import (
+        OptimizerSpec, create_train_state, make_train_step)
+    from .test_forward import demo_batch, SMALL, init_model
+
+    model = DAFasterRCNN(**SMALL)
+    batch = demo_batch()
+    variables = init_model(model, batch)
+    outs = []
+    for _ in range(2):
+        state, tx = create_train_state(model, variables, OptimizerSpec())
+        step = jax.jit(make_train_step(model, tx))
+        state, m1 = step(state, batch, jax.random.PRNGKey(7))
+        state, m2 = step(state, batch, jax.random.PRNGKey(7))
+        outs.append((float(m1['loss']), float(m2['loss'])))
+    assert outs[0] == outs[1]

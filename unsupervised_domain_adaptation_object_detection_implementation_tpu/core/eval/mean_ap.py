@@ -64,10 +64,20 @@ def tpfp_default(det_bboxes: np.ndarray,
                  iou_thr: float = 0.5,
                  use_legacy_coordinate: bool = False
                  ) -> Tuple[np.ndarray, np.ndarray]:
-    """Greedy TP/FP marking for one image & class (score-descending match)."""
+    """Greedy TP/FP marking for one image & class (score-descending match).
+
+    Uses the native C++ matcher (`native/tpfp.cpp`) when available; the
+    numpy path below is the reference fallback (parity-tested).
+    """
     extra = 1.0 if use_legacy_coordinate else 0.0
     gt_ignore = gt_bboxes_ignore if gt_bboxes_ignore is not None else \
         np.zeros((0, 4))
+    if det_bboxes.shape[0]:
+        from ...utils.native import tpfp_greedy_native
+        native = tpfp_greedy_native(det_bboxes, gt_bboxes, gt_ignore,
+                                    iou_thr, extra)
+        if native is not None:
+            return native
     num_dets = det_bboxes.shape[0]
     num_gts = gt_bboxes.shape[0]
     tp = np.zeros(num_dets)
