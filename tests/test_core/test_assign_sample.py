@@ -116,3 +116,14 @@ def test_atss_assign_basic():
     # empty gt → all background
     res2 = atss_assign(anchors, (2, 2), g, jnp.array([False]), l_, topk=1)
     assert np.asarray(res2.assigned_gt_inds).max() == 0
+
+
+def test_ohem_sample_picks_hardest():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.core.bbox.samplers import (
+        ohem_sample)
+    assigned = jnp.array([1, 1, 1, 0, 0, 0, 0, -1], jnp.int32)
+    loss = jnp.array([0.1, 0.9, 0.5, 0.2, 0.8, 0.3, 0.7, 99.0])
+    res = ohem_sample(assigned, loss, num=4, pos_fraction=0.5)
+    sel = set(np.asarray(res.inds)[np.asarray(res.valid)].tolist())
+    # 2 hardest positives (1, 2) and 2 hardest negatives (4, 6)
+    assert sel == {1, 2, 4, 6}

@@ -77,3 +77,13 @@ def test_losses_differentiable():
         return cross_entropy(x, jnp.array([0]))
     g = jax.grad(f)(jnp.array([[1.0, 2.0]]))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_ghm_loss_finite_and_weighted():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.losses.focal_loss import (
+        ghm_classification_loss)
+    logits = jnp.array([[5.0, -5.0], [0.0, 0.0], [-5.0, 5.0]])
+    labels = jnp.array([0, 0, 2])     # 2 == background (all-zero row)
+    valid = jnp.array([True, True, True])
+    out = float(ghm_classification_loss(logits, labels, valid, bins=5))
+    assert np.isfinite(out) and out > 0

@@ -380,3 +380,21 @@ def test_atss_forward():
         assert np.isfinite(float(v)), key
     dets = model.apply(variables, batch, train=False)
     assert dets['dets'].shape == (2, 10, 5)
+
+
+def test_centernet_forward():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.centernet import (
+        CenterNet, CenterNetTestConfig)
+    model = CenterNet(backbone_depth=18, num_classes=3,
+                      test_cfg=CenterNetTestConfig(topk=20))
+    batch = demo_batch(h=64, w=64)
+    variables = init_model(model, batch)
+    k = jax.random.PRNGKey(1)
+    losses, _ = model.apply(variables, batch, train=True,
+                            rngs={'sampler': k, 'dropout': k},
+                            mutable=['batch_stats'])
+    assert set(losses) == {'loss_center_heatmap', 'loss_wh', 'loss_offset'}
+    for key, v in losses.items():
+        assert np.isfinite(float(v)), key
+    dets = model.apply(variables, batch, train=False)
+    assert dets['dets'].shape == (2, 20, 5)

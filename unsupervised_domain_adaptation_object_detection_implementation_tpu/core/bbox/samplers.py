@@ -76,3 +76,40 @@ def random_sample(rng: jax.Array,
         is_pos = jnp.concatenate([is_pos, jnp.zeros((pad,), bool)])
         valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
     return SampleResult(inds, is_pos, valid, pos_sel, neg_sel)
+
+
+def ohem_sample(assigned_gt_inds: jnp.ndarray,
+                per_candidate_loss: jnp.ndarray,
+                num: int,
+                pos_fraction: float) -> SampleResult:
+    """OHEM sampling (reference `core/bbox/samplers/ohem_sampler.py`):
+    hardest (highest-loss) positives and negatives instead of random ones.
+
+    `per_candidate_loss` comes from a preliminary forward of the bbox head
+    over all candidates (mmdet does the same extra forward).
+    """
+    n = assigned_gt_inds.shape[0]
+    pos = assigned_gt_inds > 0
+    neg = assigned_gt_inds == 0
+
+    num_expected_pos = int(num * pos_fraction)
+    pos_rank = _rank_among(pos, per_candidate_loss)
+    pos_sel = pos & (pos_rank < num_expected_pos)
+    num_pos = jnp.sum(pos_sel)
+    neg_rank = _rank_among(neg, per_candidate_loss)
+    neg_sel = neg & (neg_rank < num - num_pos)
+
+    selected = pos_sel | neg_sel
+    sort_key = jnp.where(pos_sel, 2.0, jnp.where(neg_sel, 1.0, 0.0)) * 1e6 \
+        + per_candidate_loss
+    k = min(num, n)
+    _, inds = jax.lax.top_k(sort_key, k)
+    inds = inds.astype(jnp.int32)
+    is_pos = pos_sel[inds]
+    valid = selected[inds]
+    if k < num:
+        pad = num - k
+        inds = jnp.concatenate([inds, jnp.zeros((pad,), inds.dtype)])
+        is_pos = jnp.concatenate([is_pos, jnp.zeros((pad,), bool)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+    return SampleResult(inds, is_pos, valid, pos_sel, neg_sel)

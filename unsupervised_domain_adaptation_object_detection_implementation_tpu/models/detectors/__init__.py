@@ -8,5 +8,6 @@ from .mask_rcnn import MaskRCNN, paste_masks
 from .cascade_rcnn import CascadeRCNN
 from .yolov3 import YOLOV3, YOLOV3Neck
 from .atss import ATSS, ATSSHead
+from .centernet import CenterNet, CenterNetHead
 
-__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead']
+__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead']

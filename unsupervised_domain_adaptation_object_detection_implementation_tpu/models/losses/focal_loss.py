@@ -117,3 +117,28 @@ class GaussianFocalLoss:
         return self.loss_weight * gaussian_focal_loss(
             pred, target, weight, self.alpha, self.gamma, reduction,
             avg_factor)
+
+
+def ghm_classification_loss(logits: jnp.ndarray,
+                            labels: jnp.ndarray,
+                            valid: jnp.ndarray,
+                            bins: int = 10,
+                            momentum: float = 0.0) -> jnp.ndarray:
+    """GHM-C (reference `mmdet/models/losses/ghm_loss.py`): BCE re-weighted
+    by inverse gradient density, computed with a static histogram."""
+    logits = logits.astype(jnp.float32)
+    num_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, num_classes)
+    p = jax.nn.sigmoid(logits)
+    g = jnp.abs(p - onehot)                                  # gradient norm
+    v = valid[..., None].astype(jnp.float32) * jnp.ones_like(g)
+    edges = jnp.linspace(0.0, 1.0 + 1e-6, bins + 1)
+    total = jnp.maximum(jnp.sum(v), 1.0)
+    weights = jnp.zeros_like(g)
+    for i in range(bins):
+        in_bin = (g >= edges[i]) & (g < edges[i + 1]) & (v > 0)
+        cnt = jnp.maximum(jnp.sum(in_bin), 1.0)
+        weights = jnp.where(in_bin, total / (cnt * bins), weights)
+    bce = jnp.maximum(logits, 0) - logits * onehot + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    return jnp.sum(bce * weights * v) / total
