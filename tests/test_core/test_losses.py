@@ -87,3 +87,25 @@ def test_ghm_loss_finite_and_weighted():
     valid = jnp.array([True, True, True])
     out = float(ghm_classification_loss(logits, labels, valid, bins=5))
     assert np.isfinite(out) and out > 0
+
+
+def test_gfl_and_varifocal_losses():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.losses import (
+        quality_focal_loss, distribution_focal_loss, varifocal_loss)
+    logits = jnp.zeros((4, 3))
+    labels = jnp.array([0, 1, 2, 3])  # 3 == bg
+    quality = jnp.array([0.9, 0.5, 0.7, 0.0])
+    q = float(quality_focal_loss(logits, labels, quality))
+    assert np.isfinite(q) and q > 0
+    # DFL: confident distribution at the right bin → low loss
+    d_logits = jnp.array([[10., 0., 0.], [0., 10., 0.]])
+    t = jnp.array([0.0, 1.0])
+    d = distribution_focal_loss(d_logits, t, reduction='none')
+    assert float(d.max()) < 0.01
+    t_mid = jnp.array([0.5, 1.5])
+    d_mid = distribution_focal_loss(d_logits, t_mid, reduction='none')
+    assert float(d_mid.min()) > float(d.max())
+    # VFL
+    targets = jnp.zeros((4, 3)).at[0, 0].set(0.9)
+    v = float(varifocal_loss(logits, targets))
+    assert np.isfinite(v) and v > 0

@@ -180,3 +180,38 @@ def test_aug_transforms_box_consistency():
                 assert b[:, 1::2].max() <= h + 1e-3
                 assert (b[:, 2] >= b[:, 0]).all()
             assert len(out['gt_bboxes']) == len(out['gt_labels'])
+
+
+def test_mosaic_mixup_via_mix_dataset():
+    load_pipe = [
+        dict(type='LoadImageFromFile'),
+        dict(type='LoadAnnotations', with_bbox=True),
+    ]
+    mix_pipe = [
+        dict(type='Mosaic', img_scale=(64, 96)),
+        dict(type='Normalize'),
+        dict(type='Pad', size=(128, 192)),
+        dict(type='PackDetInputs', max_gt=40),
+    ]
+    ds = build_dataset(dict(
+        type='MultiImageMixDataset',
+        dataset=_src_cfg(pipeline=load_pipe),
+        pipeline=mix_pipe))
+    s = ds[0]
+    assert s['image'].shape == (128, 192, 3)
+    assert s['gt_valid'].sum() >= 2  # boxes from multiple tiles survive
+    b = s['gt_bboxes'][s['gt_valid']]
+    assert b[:, 2].max() <= 192 and b[:, 3].max() <= 128
+
+    mixup_pipe = [
+        dict(type='MixUp'),
+        dict(type='Normalize'),
+        dict(type='Pad', size=(96, 128)),
+        dict(type='PackDetInputs', max_gt=40),
+    ]
+    ds2 = build_dataset(dict(
+        type='MultiImageMixDataset', num_mix=1,
+        dataset=_src_cfg(pipeline=load_pipe),
+        pipeline=mixup_pipe))
+    s2 = ds2[0]
+    assert s2['gt_valid'].sum() == 4   # 2 boxes from each image

@@ -95,3 +95,36 @@ class ClassBalancedDataset:
 
     def get_ann_info(self, idx):
         return self.dataset.get_ann_info(self.indices[idx])
+
+
+@DATASETS.register_module()
+class MultiImageMixDataset:
+    """Wrapper feeding multi-image transforms (reference
+    `dataset_wrappers.py:MultiImageMixDataset`): the base dataset runs its
+    own (loading) pipeline; this wrapper attaches `num_mix` extra random
+    samples as `mix_results` and runs the mix pipeline (Mosaic/MixUp + the
+    terminal formatting stages)."""
+
+    def __init__(self, dataset, pipeline, num_mix: int = 3, seed: int = 0):
+        from ..builder import build_dataset
+        from ..pipelines.transforms import Compose
+        self.dataset = dataset if not isinstance(dataset, dict) else \
+            build_dataset(dataset)
+        self.pipeline = Compose(pipeline)
+        self.num_mix = num_mix
+        self.CLASSES = self.dataset.CLASSES
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def get_ann_info(self, idx):
+        return self.dataset.get_ann_info(idx)
+
+    def __getitem__(self, idx):
+        results = self.dataset[idx]
+        mixes = [self.dataset[int(self._rng.randint(len(self.dataset)))]
+                 for _ in range(self.num_mix)]
+        results['mix_results'] = mixes
+        results['_rng'] = self._rng
+        return self.pipeline(results)

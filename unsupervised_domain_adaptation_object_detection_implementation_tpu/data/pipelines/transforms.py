@@ -487,3 +487,105 @@ class CutOut:
             img[y0:y0 + ch, x0:x0 + cw] = self.fill_in
         results['img'] = img
         return results
+
+
+@PIPELINES.register_module()
+class Mosaic:
+    """4-image mosaic (reference `pipelines/transforms.py:1945`): paste the
+    sample and 3 `mix_results` images around a jittered center on a 2× canvas.
+    Requires a `MultiImageMixDataset` wrapper to supply `mix_results`."""
+
+    def __init__(self, img_scale=(640, 640), center_ratio_range=(0.5, 1.5),
+                 pad_val: float = 114.0):
+        self.img_scale = img_scale          # (h, w) of one tile
+        self.center_ratio_range = center_ratio_range
+        self.pad_val = pad_val
+
+    def __call__(self, results):
+        rng: np.random.RandomState = results.get('_rng', np.random)
+        assert 'mix_results' in results and len(results['mix_results']) == 3
+        h, w = self.img_scale
+        canvas = np.full((2 * h, 2 * w, 3), self.pad_val, np.float32)
+        cx = int(rng.uniform(*self.center_ratio_range) * w)
+        cy = int(rng.uniform(*self.center_ratio_range) * h)
+        all_boxes, all_labels = [], []
+        items = [results] + list(results['mix_results'])
+        # tl, tr, bl, br placements around (cx, cy)
+        for pos, item in zip(('tl', 'tr', 'bl', 'br'), items):
+            img = item['img'].astype(np.float32)
+            ih, iw = img.shape[:2]
+            scale = min(h / ih, w / iw)
+            nw, nh = int(iw * scale), int(ih * scale)
+            img = _imresize(img.astype(np.uint8), (nw, nh)).astype(np.float32)
+            if pos == 'tl':
+                x1, y1 = max(cx - nw, 0), max(cy - nh, 0)
+                x2, y2 = cx, cy
+            elif pos == 'tr':
+                x1, y1 = cx, max(cy - nh, 0)
+                x2, y2 = min(cx + nw, 2 * w), cy
+            elif pos == 'bl':
+                x1, y1 = max(cx - nw, 0), cy
+                x2, y2 = cx, min(cy + nh, 2 * h)
+            else:
+                x1, y1 = cx, cy
+                x2, y2 = min(cx + nw, 2 * w), min(cy + nh, 2 * h)
+            cw, ch = x2 - x1, y2 - y1
+            if cw <= 0 or ch <= 0:
+                continue
+            # crop the resized image region adjacent to the center corner
+            sx = nw - cw if pos in ('tl', 'bl') else 0
+            sy = nh - ch if pos in ('tl', 'tr') else 0
+            canvas[y1:y2, x1:x2] = img[sy:sy + ch, sx:sx + cw]
+            boxes = item.get('gt_bboxes', np.zeros((0, 4), np.float32))
+            if len(boxes):
+                b = boxes * scale
+                b[:, 0::2] += x1 - sx
+                b[:, 1::2] += y1 - sy
+                b[:, 0::2] = b[:, 0::2].clip(0, 2 * w)
+                b[:, 1::2] = b[:, 1::2].clip(0, 2 * h)
+                keep = (b[:, 2] - b[:, 0] > 2) & (b[:, 3] - b[:, 1] > 2)
+                all_boxes.append(b[keep])
+                all_labels.append(
+                    item['gt_labels'][:len(boxes)][keep])
+        results['img'] = canvas
+        results['img_shape'] = canvas.shape[:2]
+        results['gt_bboxes'] = np.concatenate(all_boxes) if all_boxes else \
+            np.zeros((0, 4), np.float32)
+        results['gt_labels'] = np.concatenate(all_labels) if all_labels else \
+            np.zeros((0,), np.int64)
+        results.pop('mix_results')
+        return results
+
+
+@PIPELINES.register_module()
+class MixUp:
+    """Two-image mixup (reference `pipelines/transforms.py:2200`, simplified:
+    same-canvas blend + box union)."""
+
+    def __init__(self, ratio_range=(0.5, 1.5), pad_val: float = 114.0):
+        self.ratio_range = ratio_range
+        self.pad_val = pad_val
+
+    def __call__(self, results):
+        rng: np.random.RandomState = results.get('_rng', np.random)
+        assert 'mix_results' in results and len(results['mix_results']) >= 1
+        other = results['mix_results'][0]
+        img = results['img'].astype(np.float32)
+        oimg = other['img'].astype(np.float32)
+        h = max(img.shape[0], oimg.shape[0])
+        w = max(img.shape[1], oimg.shape[1])
+        canvas = np.full((h, w, 3), self.pad_val, np.float32)
+        canvas[:img.shape[0], :img.shape[1]] = img
+        ocanvas = np.full((h, w, 3), self.pad_val, np.float32)
+        ocanvas[:oimg.shape[0], :oimg.shape[1]] = oimg
+        lam = 0.5
+        results['img'] = canvas * lam + ocanvas * (1 - lam)
+        results['img_shape'] = (h, w)
+        results['gt_bboxes'] = np.concatenate([
+            results.get('gt_bboxes', np.zeros((0, 4), np.float32)),
+            other.get('gt_bboxes', np.zeros((0, 4), np.float32))])
+        results['gt_labels'] = np.concatenate([
+            results.get('gt_labels', np.zeros((0,), np.int64)),
+            other.get('gt_labels', np.zeros((0,), np.int64))])
+        results.pop('mix_results')
+        return results

@@ -8,6 +8,9 @@ from .focal_loss import (sigmoid_focal_loss, py_focal_loss_with_prob,
 from .iou_loss import iou_loss, giou_loss, diou_loss, ciou_loss, IoULoss, GIoULoss
 from .accuracy import accuracy
 from .gan_loss import gan_lsgan_loss, cycle_consistency_loss
+from .gfocal_loss import (quality_focal_loss, distribution_focal_loss,
+                          varifocal_loss, QualityFocalLoss,
+                          DistributionFocalLoss, VarifocalLoss)
 
 __all__ = [
     'weight_reduce_loss', 'reduce_loss', 'binary_cross_entropy',
@@ -17,5 +20,7 @@ __all__ = [
     'py_focal_loss_with_prob', 'gaussian_focal_loss', 'FocalLoss',
     'GaussianFocalLoss', 'iou_loss', 'giou_loss', 'diou_loss', 'ciou_loss',
     'IoULoss', 'GIoULoss', 'accuracy', 'gan_lsgan_loss',
-    'cycle_consistency_loss'
+    'cycle_consistency_loss', 'quality_focal_loss',
+    'distribution_focal_loss', 'varifocal_loss', 'QualityFocalLoss',
+    'DistributionFocalLoss', 'VarifocalLoss'
 ]
