@@ -27,6 +27,7 @@ def main(argv=None):
     p.add_argument('config')
     p.add_argument('checkpoint', nargs='?', default=None)
     p.add_argument('--eval', default='mAP', help='mAP | recall | bbox')
+    p.add_argument('--out', default=None, help='save raw results (.pkl)')
     p.add_argument('--samples-per-batch', type=int, default=2)
     p.add_argument('--cfg-options', nargs='+', default=[])
     args = p.parse_args(argv)
@@ -52,9 +53,16 @@ def main(argv=None):
     else:
         print('[test] WARNING: no checkpoint — random weights')
 
-    metrics = evaluate_dataset(model, variables, dataset,
-                               samples_per_batch=args.samples_per_batch,
-                               metric=args.eval)
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.apis import (
+        run_inference)
+    results = run_inference(model, variables, dataset,
+                            samples_per_batch=args.samples_per_batch)
+    if args.out:
+        import pickle
+        with open(args.out, 'wb') as f:
+            pickle.dump(results, f)
+        print(f'[test] raw results saved to {args.out}')
+    metrics = dataset.evaluate(results, metric=args.eval)
     print('metrics:', {k_: round(float(v), 4) for k_, v in metrics.items()})
 
 

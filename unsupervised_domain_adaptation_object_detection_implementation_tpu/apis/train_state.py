@@ -114,7 +114,8 @@ def create_train_state(model, variables, spec: OptimizerSpec,
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
-                    loss_aggregate: str = 'sum') -> Callable:
+                    loss_aggregate: str = 'sum',
+                    skip_nonfinite: bool = False) -> Callable:
     """Build the pure (state, batch, rng) → (state, metrics) step.
 
     The returned function is jit-compatible; under a Mesh with the batch
@@ -138,6 +139,14 @@ def make_train_step(model, tx: optax.GradientTransformation,
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if skip_nonfinite:
+            # CheckInvalidLossHook equivalent: a NaN/Inf step keeps the old
+            # params instead of killing the run (apis/hooks.py)
+            from .hooks import guard_nonfinite_update
+            new_params, skipped = guard_nonfinite_update(
+                state.params, new_params, total)
+            loss_dict = dict(loss_dict, skipped_nonfinite=skipped.astype(
+                jnp.float32))
         metrics = dict(loss=total, **loss_dict)
         return TrainState(state.step + 1, new_params, new_stats, new_opt), \
             metrics
