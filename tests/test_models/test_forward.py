@@ -398,3 +398,26 @@ def test_centernet_forward():
         assert np.isfinite(float(v)), key
     dets = model.apply(variables, batch, train=False)
     assert dets['dets'].shape == (2, 20, 5)
+
+
+def test_ssdlite_forward():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.ssd import (
+        SSDLite, SSDAnchors)
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.dense_heads.anchor_head import (
+        DensePredictConfig)
+    model = SSDLite(num_classes=3,
+                    anchor_cfg=SSDAnchors(strides=(16, 32, 64, 128),
+                                          base_sizes=(12, 24, 40, 56)),
+                    test_cfg=DensePredictConfig(nms_pre=200, max_per_img=10,
+                                                nms_tile=128))
+    batch = demo_batch(h=128, w=128)
+    variables = init_model(model, batch)
+    k = jax.random.PRNGKey(1)
+    losses, _ = model.apply(variables, batch, train=True,
+                            rngs={'sampler': k, 'dropout': k},
+                            mutable=['batch_stats'])
+    assert set(losses) == {'loss_cls', 'loss_bbox'}
+    for key, v in losses.items():
+        assert np.isfinite(float(v)), key
+    dets = model.apply(variables, batch, train=False)
+    assert dets['dets'].shape == (2, 10, 5)

@@ -9,5 +9,6 @@ from .cascade_rcnn import CascadeRCNN
 from .yolov3 import YOLOV3, YOLOV3Neck
 from .atss import ATSS, ATSSHead
 from .centernet import CenterNet, CenterNetHead
+from .ssd import SSDLite
 
-__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead']
+__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite']
