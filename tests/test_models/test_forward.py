@@ -421,3 +421,45 @@ def test_ssdlite_forward():
         assert np.isfinite(float(v)), key
     dets = model.apply(variables, batch, train=False)
     assert dets['dets'].shape == (2, 10, 5)
+
+
+def test_detr_forward():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.detr import (
+        DETR, DETRTestConfig)
+    model = DETR(backbone_depth=18, num_classes=3, num_queries=16,
+                 enc_layers=2, dec_layers=2, embed_dim=64,
+                 test_cfg=DETRTestConfig(max_per_img=10))
+    batch = demo_batch(h=64, w=64)
+    variables = init_model(model, batch)
+    k = jax.random.PRNGKey(1)
+    losses, _ = model.apply(variables, batch, train=True,
+                            rngs={'sampler': k, 'dropout': k},
+                            mutable=['batch_stats'])
+    # final layer + 1 aux layer
+    assert {'loss_cls', 'loss_bbox', 'loss_iou', 'd0.loss_cls'} <= set(losses)
+    for key, v in losses.items():
+        assert np.isfinite(float(v)), key
+    dets = model.apply(variables, batch, train=False)
+    assert dets['dets'].shape == (2, 10, 5)
+
+
+def test_detr_hungarian_matches_perfect_predictions():
+    """With predictions exactly on the gt boxes the matched L1/GIoU losses
+    are ~0 — verifies the in-jit Hungarian matching end-to-end."""
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.detr import (
+        detr_layer_loss, _xyxy_to_cxcywh)
+    gt = jnp.asarray([[[4., 4., 20., 20.], [30., 10., 50., 40.]]])
+    gt_norm = _xyxy_to_cxcywh(gt / 64.0)
+    gtl = jnp.asarray([[1, 2]])
+    gtv = jnp.asarray([[True, True]])
+    # predictions: queries 5 and 2 sit exactly on the gts, confident classes
+    box = jnp.zeros((8, 4)).at[5].set(gt_norm[0, 0]).at[2].set(gt_norm[0, 1])
+    box = jnp.clip(box, 1e-3, 1.0)
+    cls = jnp.full((8, 4), 0.0).at[:, 3].set(5.0)   # default: background
+    cls = cls.at[5].set(jnp.array([0., 10., 0., 0.]))
+    cls = cls.at[2].set(jnp.array([0., 0., 10., 0.]))
+    c_l, l_l, g_l = detr_layer_loss(cls, box, gt_norm[0], gtl[0], gtv[0],
+                                    num_classes=3)
+    assert float(l_l) < 1e-3
+    assert float(g_l) < 1e-3
+    assert float(c_l) < 0.1

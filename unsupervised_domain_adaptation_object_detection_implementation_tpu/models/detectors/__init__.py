@@ -10,5 +10,6 @@ from .yolov3 import YOLOV3, YOLOV3Neck
 from .atss import ATSS, ATSSHead
 from .centernet import CenterNet, CenterNetHead
 from .ssd import SSDLite
+from .detr import DETR, TransformerLayer
 
-__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite']
+__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer']
