@@ -28,6 +28,7 @@ def main(argv=None):
     p.add_argument('checkpoint', nargs='?', default=None)
     p.add_argument('--eval', default='mAP', help='mAP | recall | bbox')
     p.add_argument('--out', default=None, help='save raw results (.pkl)')
+    p.add_argument('--flip-tta', action='store_true')
     p.add_argument('--samples-per-batch', type=int, default=2)
     p.add_argument('--cfg-options', nargs='+', default=[])
     args = p.parse_args(argv)
@@ -56,7 +57,8 @@ def main(argv=None):
     from unsupervised_domain_adaptation_object_detection_implementation_tpu.apis import (
         run_inference)
     results = run_inference(model, variables, dataset,
-                            samples_per_batch=args.samples_per_batch)
+                            samples_per_batch=args.samples_per_batch,
+                            flip_tta=args.flip_tta)
     if args.out:
         import pickle
         with open(args.out, 'wb') as f:

@@ -320,8 +320,9 @@ class MultiScaleFlipAug:
                  scale_factor=None):
         if flip or (isinstance(img_scale, list) and len(img_scale) > 1):
             raise NotImplementedError(
-                'multi-scale/flip TTA not supported yet; use a single scale '
-                'with flip=False')
+                'config-driven multi-scale TTA is not wired; use '
+                'run_inference(flip_tta=True) / tools/test.py --flip-tta '
+                'for flip TTA, single scale otherwise')
         self.inner = Compose(transforms)
 
     def __call__(self, results):
