@@ -463,3 +463,23 @@ def test_detr_hungarian_matches_perfect_predictions():
     assert float(l_l) < 1e-3
     assert float(g_l) < 1e-3
     assert float(c_l) < 0.1
+
+
+def test_gfl_forward():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.gfl import GFL
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.dense_heads.anchor_head import (
+        DensePredictConfig)
+    model = GFL(backbone_depth=18, num_classes=3, topk=4, reg_max=8,
+                test_cfg=DensePredictConfig(nms_pre=200, max_per_img=10,
+                                            nms_tile=128))
+    batch = demo_batch(h=64, w=64)
+    variables = init_model(model, batch)
+    k = jax.random.PRNGKey(1)
+    losses, _ = model.apply(variables, batch, train=True,
+                            rngs={'sampler': k, 'dropout': k},
+                            mutable=['batch_stats'])
+    assert set(losses) == {'loss_cls', 'loss_bbox', 'loss_dfl'}
+    for key, v in losses.items():
+        assert np.isfinite(float(v)), key
+    dets = model.apply(variables, batch, train=False)
+    assert dets['dets'].shape == (2, 10, 5)
