@@ -84,6 +84,20 @@ def get_baseline() -> float:
     return val
 
 
+def _peak_flops_per_sec(device) -> float:
+    """bf16 peak of the bench chip, for MFU accounting."""
+    kind = getattr(device, 'device_kind', '').lower()
+    table = {
+        'v5 lite': 197e12, 'v5e': 197e12,
+        'v5p': 459e12, 'v5': 459e12,
+        'v4': 275e12, 'v6': 918e12, 'trillium': 918e12,
+    }
+    for key, val in table.items():
+        if key in kind:
+            return val
+    return 197e12   # assume v5e
+
+
 def main():
     import jax
     from unsupervised_domain_adaptation_object_detection_implementation_tpu.models import (
@@ -97,12 +111,27 @@ def main():
                          dtype=jnp.bfloat16)
     batch = _demo_batch(b=BATCH, h=H, w=W)
     k = jax.random.PRNGKey(0)
-    variables = model.init({'params': k, 'sampler': k, 'dropout': k}, batch,
-                           train=True)
+    # eval_shape + zeros: model.init would EXECUTE the full forward eagerly,
+    # op-by-op over the axon tunnel — minutes of round trips. Throughput does
+    # not depend on weight values.
+    var_shapes = jax.eval_shape(
+        lambda: model.init({'params': k, 'sampler': k, 'dropout': k}, batch,
+                           train=True))
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), var_shapes)
     state, tx = create_train_state(model, variables, OptimizerSpec(),
                                    frozen_stages=1)
     step = jax.jit(make_train_step(model, tx), donate_argnums=0)
     rng = jax.random.PRNGKey(1)
+
+    # FLOPs of the compiled step (for MFU) — `get_flops.py` uses the same
+    # cost_analysis path
+    lowered = step.lower(state, batch, rng)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis() or {}
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    step_flops = float(cost.get('flops', 0.0))
 
     # compile + warmup. NOTE: over the axon tunnel block_until_ready
     # acks before remote execution completes; fetching the loss VALUE is the
@@ -121,12 +150,18 @@ def main():
     dt = time.perf_counter() - t0
     ips = BATCH * iters / dt
 
+    achieved = step_flops * iters / dt
+    mfu = achieved / _peak_flops_per_sec(jax.devices()[0])
+
     baseline = get_baseline()
     print(json.dumps({
         'metric': 'images/sec/chip (DA Faster R-CNN R50 train)',
         'value': round(ips, 3),
         'unit': 'img/s',
         'vs_baseline': round(ips / baseline, 3),
+        'step_tflops': round(step_flops / 1e12, 3),
+        'achieved_tflops_per_sec': round(achieved / 1e12, 3),
+        'mfu': round(mfu, 4),
     }))
 
 

@@ -1,17 +1,22 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
 This replaces the reference's missing "fake cluster" layer (SURVEY.md §4):
-sharding/collective code paths are exercised on
-`--xla_force_host_platform_device_count=8` CPU devices without TPU hardware.
-Must run before jax initializes its backends, hence env vars at import time.
+sharding/collective code paths are exercised on 8 virtual CPU devices without
+TPU hardware.
+
+jax 0.9 note: the old `--xla_force_host_platform_device_count` XLA flag is a
+no-op, and the ambient axon TPU plugin overrides the `JAX_PLATFORMS=cpu` env
+var. The only mechanism that works in this environment is the config pair
+below, applied before any backend initializes (verified: `jax.devices()` then
+reports 8 TFRT_CPU devices).
 """
 
 import os
 
-# Force, don't setdefault: the ambient environment pins JAX_PLATFORMS to the
-# axon TPU tunnel; unit tests must run on the virtual CPU mesh regardless.
-os.environ['JAX_PLATFORMS'] = 'cpu'
-flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+# Harmless belt-and-braces for subprocesses spawned by tests.
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 8)

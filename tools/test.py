@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument('--eval', default='mAP', help='mAP | recall | bbox')
     p.add_argument('--out', default=None, help='save raw results (.pkl)')
     p.add_argument('--flip-tta', action='store_true')
+    p.add_argument('--scale-tta', type=float, nargs='+', default=[],
+                   help='extra canvas scale ratios, e.g. 0.75 1.25 '
+                        '(MultiScaleFlipAug scales equivalent)')
     p.add_argument('--samples-per-batch', type=int, default=2)
     p.add_argument('--cfg-options', nargs='+', default=[])
     args = p.parse_args(argv)
@@ -58,7 +61,8 @@ def main(argv=None):
         run_inference)
     results = run_inference(model, variables, dataset,
                             samples_per_batch=args.samples_per_batch,
-                            flip_tta=args.flip_tta)
+                            flip_tta=args.flip_tta,
+                            scale_tta=tuple(args.scale_tta))
     if args.out:
         import pickle
         with open(args.out, 'wb') as f:

@@ -21,12 +21,16 @@ import jax.numpy as jnp
 
 def ema_update(ema_params, params, momentum: float = 0.9998,
                step=None, gamma: float = 2000.0):
-    """EMA of params. With `step`, uses the exp-momentum warmup ramp of the
-    reference (`ema.py:104`): m(t) = (1-m0)*exp(-(t+1)/gamma) + m0 inverted
-    so early steps track the raw params closely."""
+    """EMA of params; `momentum` is the DECAY (old-weight coefficient).
+
+    With `step`, applies the exp-momentum warmup ramp of the reference
+    (`core/hook/ema.py:104`, whose `momentum` is the new-weight coefficient
+    m0 = 1-decay): new_coef(t) = (1-m0)·exp(-(t+1)/gamma) + m0, i.e. early
+    steps copy the raw params almost exactly and the decay relaxes to
+    `momentum` with time constant gamma."""
     if step is not None:
-        m = 1.0 - (1.0 - momentum) * (1.0 + jnp.exp(-(step + 1.0) / gamma)) \
-            * 0.5
+        d0 = momentum
+        m = d0 * (1.0 - jnp.exp(-(step + 1.0) / gamma))
     else:
         m = momentum
     return jax.tree_util.tree_map(

@@ -9,7 +9,7 @@ to `dataset.evaluate`. Detections are rescaled to original image coordinates
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import numpy as np
@@ -66,14 +66,53 @@ def _host_nms(dets: np.ndarray, thr: float) -> np.ndarray:
     return dets[sorted(keep)]
 
 
+def _merge_aug_results(per_aug: List[List[List[np.ndarray]]],
+                       thr: float) -> List[List[np.ndarray]]:
+    """Concat per-class detections across augmentations + host NMS — the
+    reference `merge_aug_bboxes`/`merge_aug_results` equivalent
+    (`core/post_processing/merge_augs.py`)."""
+    merged = []
+    for per_img in zip(*per_aug):
+        out_img = []
+        for per_cls in zip(*per_img):
+            cat = np.concatenate([p for p in per_cls if len(p)], 0) \
+                if any(len(p) for p in per_cls) else per_cls[0]
+            out_img.append(_host_nms(cat, thr) if len(cat) else cat)
+        merged.append(out_img)
+    return merged
+
+
+def _rescaled_batch(batch, ratio: float):
+    """Device-side bilinear rescale of the padded canvas by `ratio`
+    (÷32-padded), with per-image true shapes scaled to match. Returns the
+    new batch and per-axis (ry, rx) factors to map boxes back."""
+    import jax.numpy as jnp
+    img = jnp.asarray(batch['image'])
+    b, h, w, c = img.shape
+    rh, rw = int(round(h * ratio)), int(round(w * ratio))
+    ch, cw = -(-rh // 32) * 32, -(-rw // 32) * 32
+    out = jax.image.resize(img, (b, rh, rw, c), 'bilinear')
+    out = jnp.pad(out, ((0, 0), (0, ch - rh), (0, cw - rw), (0, 0)))
+    ry, rx = rh / h, rw / w
+    shapes = np.asarray(batch['img_shape'], np.float64) * [ry, rx]
+    nb = dict(batch, image=out,
+              img_shape=np.minimum(np.round(shapes), [ch, cw]).astype(
+                  np.int32))
+    return nb, (ry, rx)
+
+
 def run_inference(model, variables, dataset, samples_per_batch: int = 2,
                   mesh=None, flip_tta: bool = False,
+                  scale_tta: Sequence[float] = (),
                   tta_nms_thr: float = 0.5) -> List[List[np.ndarray]]:
     """Run `model.predict` over a dataset; returns reference-format results.
 
-    `flip_tta=True` adds a horizontally-flipped pass and merges the unflipped
-    detections per class with host NMS — the reference's
-    `MultiScaleFlipAug(flip=True)` + `merge_aug_bboxes` flow.
+    TTA (the reference `MultiScaleFlipAug` + `merge_aug_*` flow):
+    - `flip_tta=True` adds a horizontally-flipped pass;
+    - `scale_tta=(0.75, 1.25, …)` adds passes at rescaled canvases (device
+      bilinear resize; each distinct canvas compiles once);
+    detections from all passes are mapped back to the base coordinates,
+    concatenated per class and merged with host NMS.
     """
     num_classes = model.num_classes
     loader = DataLoader(dataset, samples_per_batch, shuffle=False,
@@ -88,8 +127,9 @@ def run_inference(model, variables, dataset, samples_per_batch: int = 2,
         else:
             db = batch
         out = jax.device_get(predict(variables, db))
-        got = results_from_batch(out['dets'], out['labels'], out['valid'],
-                                 batch['scale_factor'], num_classes)
+        per_aug = [results_from_batch(out['dets'], out['labels'],
+                                      out['valid'], batch['scale_factor'],
+                                      num_classes)]
         if flip_tta:
             img = np.asarray(batch['image'])[:, :, ::-1]
             canvas_w = img.shape[2]
@@ -102,14 +142,22 @@ def run_inference(model, variables, dataset, samples_per_batch: int = 2,
             x1 = canvas_w - dets2[..., 2]
             x2 = canvas_w - dets2[..., 0]
             dets2[..., 0], dets2[..., 2] = x1, x2
-            got2 = results_from_batch(dets2, out2['labels'], out2['valid'],
-                                      batch['scale_factor'], num_classes)
-            got = [
-                [_host_nms(np.concatenate([a, b2], 0), tta_nms_thr)
-                 if len(a) + len(b2) else a
-                 for a, b2 in zip(per_img, per_img2)]
-                for per_img, per_img2 in zip(got, got2)
-            ]
+            per_aug.append(results_from_batch(
+                dets2, out2['labels'], out2['valid'],
+                batch['scale_factor'], num_classes))
+        for ratio in scale_tta:
+            sb, (ry, rx) = _rescaled_batch(batch, ratio)
+            out3 = jax.device_get(predict(variables, sb))
+            dets3 = np.asarray(out3['dets']).copy()
+            dets3[..., 0] /= rx       # back to base coordinates
+            dets3[..., 2] /= rx
+            dets3[..., 1] /= ry
+            dets3[..., 3] /= ry
+            per_aug.append(results_from_batch(
+                dets3, out3['labels'], out3['valid'],
+                batch['scale_factor'], num_classes))
+        got = per_aug[0] if len(per_aug) == 1 else \
+            _merge_aug_results(per_aug, tta_nms_thr)
         take = min(len(got), n - seen)   # drop wrap-padded tail items
         results.extend(got[:take])
         seen += take

@@ -84,6 +84,17 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
         variables = load_pretrained_backbone(variables, pretrained_backbone)
     frozen = cfg.model.get('backbone', {}).get('frozen_stages', 1) \
         if hasattr(cfg.model, 'get') else 1
+    # EMA: `custom_hooks=[dict(type='ExpMomentumEMAHook', momentum=m)]`
+    # (reference `core/hook/ema.py:104`; mmcv convention m≈2e-4 is the NEW
+    # weight's coefficient — ours is the decay, hence 1-m) or a native
+    # `ema=dict(momentum=0.9998)` block.
+    ema_momentum = None
+    for hook in (cfg.get('custom_hooks', []) or []):
+        if 'EMA' in str(hook.get('type', '')):
+            ema_momentum = 1.0 - hook.get('momentum', 2e-4)
+    if cfg.get('ema'):
+        ema_momentum = cfg['ema'].get('momentum', 0.9998)
+
     from ..models.detectors.cyda_faster_rcnn import CyDAFasterRCNN
     is_gan = isinstance(model, CyDAFasterRCNN)
     if is_gan:
@@ -93,8 +104,10 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
         step_builder = lambda: make_gan_train_step(model, tx_main, tx_disc)  # noqa: E731
     else:
         state, tx = create_train_state(model, variables, spec,
-                                       frozen_stages=frozen)
-        step_builder = lambda: make_train_step(model, tx)  # noqa: E731
+                                       frozen_stages=frozen,
+                                       ema=ema_momentum is not None)
+        step_builder = lambda: make_train_step(  # noqa: E731
+            model, tx, ema_momentum=ema_momentum)
 
     start_epoch = 0
     if resume_from:
@@ -144,8 +157,12 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
                     train_detector._val_cache = (
                         cfg, build_dataset(cfg.data['val']))
                 val_ds = train_detector._val_cache[1]
+                # evaluate with EMA weights when tracking them (EMAHook
+                # swaps model↔ema around eval the same way)
+                eval_params = state.ema_params if state.ema_params is not None \
+                    else state.params
                 metrics_out = evaluate_dataset(
-                    model, {'params': state.params,
+                    model, {'params': eval_params,
                             'batch_stats': state.batch_stats},
                     val_ds, samples_per_batch=global_batch, mesh=mesh)
                 rec = dict(mode='val', epoch=epoch + 1,

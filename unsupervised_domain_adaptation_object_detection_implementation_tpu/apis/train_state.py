@@ -23,6 +23,11 @@ class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # EMA shadow of `params` (None = EMA disabled). Evaluating with these
+    # stabilizes long adversarial runs — reference ships this as
+    # `ExpMomentumEMAHook` (`mmdet/core/hook/ema.py:8`); RESULTS.md r01
+    # documents the 60-epoch DAF collapse this prevents.
+    ema_params: Any = None
 
 
 class OptimizerSpec(NamedTuple):
@@ -103,19 +108,22 @@ def make_optimizer(spec: OptimizerSpec, params=None, frozen_stages: int = -1
 
 
 def create_train_state(model, variables, spec: OptimizerSpec,
-                       frozen_stages: int = -1) -> Tuple[TrainState,
-                                                         optax.GradientTransformation]:
+                       frozen_stages: int = -1,
+                       ema: bool = False) -> Tuple[TrainState,
+                                                   optax.GradientTransformation]:
     params = variables['params']
     batch_stats = variables.get('batch_stats', {})
     tx = make_optimizer(spec, params, frozen_stages)
     opt_state = tx.init(params)
+    ema_params = jax.tree_util.tree_map(jnp.array, params) if ema else None
     return TrainState(jnp.zeros((), jnp.int32), params, batch_stats,
-                      opt_state), tx
+                      opt_state, ema_params), tx
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
                     loss_aggregate: str = 'sum',
-                    skip_nonfinite: bool = False) -> Callable:
+                    skip_nonfinite: bool = False,
+                    ema_momentum: Optional[float] = None) -> Callable:
     """Build the pure (state, batch, rng) → (state, metrics) step.
 
     The returned function is jit-compatible; under a Mesh with the batch
@@ -147,9 +155,14 @@ def make_train_step(model, tx: optax.GradientTransformation,
                 state.params, new_params, total)
             loss_dict = dict(loss_dict, skipped_nonfinite=skipped.astype(
                 jnp.float32))
+        new_ema = state.ema_params
+        if ema_momentum is not None and state.ema_params is not None:
+            from .hooks import ema_update
+            new_ema = ema_update(state.ema_params, new_params,
+                                 momentum=ema_momentum, step=state.step)
         metrics = dict(loss=total, **loss_dict)
-        return TrainState(state.step + 1, new_params, new_stats, new_opt), \
-            metrics
+        return TrainState(state.step + 1, new_params, new_stats, new_opt,
+                          new_ema), metrics
 
     return step_fn
 

@@ -224,6 +224,11 @@ class Pad:
             tw = int(np.ceil(w / self.size_divisor)) * self.size_divisor
         else:
             th, tw = self.size
+            if h > th or w > tw:
+                raise ValueError(
+                    f'Pad: resized image ({h}, {w}) exceeds the fixed canvas '
+                    f'({th}, {tw}); it would be silently cropped. Enlarge '
+                    f'`Pad.size` or tighten the Resize scale.')
         padded = np.full((th, tw) + img.shape[2:], self.pad_val, img.dtype)
         padded[:h, :w] = img
         results['img'] = padded

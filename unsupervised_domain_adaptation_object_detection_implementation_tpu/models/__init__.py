@@ -1,5 +1,7 @@
 from .builder import build_detector
 from . import losses  # noqa: F401
+from . import detectors as _detectors  # noqa: F401 — registers every detector
+from .detectors.yolox import YOLOX
 from .backbones.resnet import ResNet
 from .backbones.da_resnet import DAResNet, Tap, VARIANT_TAPS
 from .dense_heads.rpn_head import RPNHead
@@ -11,4 +13,4 @@ from .detectors.faster_rcnn_fpn import FasterRCNNFPN
 from .necks.fpn import FPN
 
 __all__ = ['build_detector', 'ResNet', 'DAResNet', 'Tap', 'VARIANT_TAPS',
-           'RPNHead', 'Shared2FCBBoxHead', 'FasterRCNN', 'DAFasterRCNN', 'RetinaNet', 'FasterRCNNFPN', 'FPN']
+           'RPNHead', 'Shared2FCBBoxHead', 'FasterRCNN', 'DAFasterRCNN', 'RetinaNet', 'FasterRCNNFPN', 'FPN', 'YOLOX']

@@ -87,7 +87,7 @@ def grouped_instance_loss(
         cls_scores: jnp.ndarray,
         valid: jnp.ndarray,
         domain: jnp.ndarray,
-        k: int = 16,
+        k: int = 20,
         quirk_detach: bool = False) -> jnp.ndarray:
     """Grouped fg/bg instance alignment (`DAFaster_rcnn.py:232-327`).
 

@@ -12,5 +12,6 @@ from .centernet import CenterNet, CenterNetHead
 from .ssd import SSDLite
 from .detr import DETR, TransformerLayer
 from .gfl import GFL, GFLHead
+from .yolox import YOLOX, YOLOXHead
 
-__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead']
+__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead', 'YOLOX', 'YOLOXHead']

@@ -58,7 +58,10 @@ class DAFasterRCNN(nn.Module):
     num_classes: int = 8
     variant: str = 'daf'            # daf | daf_org | maf | swda | deep | tri
     instance_mode: str = 'grouped'  # grouped | split_plain | plain | none
-    group_k: int = 16
+    # reference `DAFaster_rcnn.py:group(k=20)` pads/completes to 20 reps per
+    # domain bucket (its inner k-means quirkily reduces to 10 when >20 rois
+    # exist; we keep a uniform k — documented deviation, see PARITY.md)
+    group_k: int = 20
     backbone_depth: int = 50
     backbone_type: str = 'resnet'   # 'resnet' | 'swin'
     frozen_stages: int = 1

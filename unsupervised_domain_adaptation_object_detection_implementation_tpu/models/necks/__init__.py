@@ -1,4 +1,5 @@
 from .fpn import FPN
 from .pafpn import PAFPN
+from .yolox_pafpn import YOLOXPAFPN
 
-__all__ = ['FPN', 'PAFPN']
+__all__ = ['FPN', 'PAFPN', 'YOLOXPAFPN']

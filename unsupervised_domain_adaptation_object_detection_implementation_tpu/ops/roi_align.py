@@ -22,7 +22,9 @@ Semantics notes vs mmcv:
 - mmcv's `sampling_ratio=0` means adaptive ceil(bin/sample) counts — a
   data-dependent shape, so we use a fixed `sampling_ratio` (default 2, the
   detectron2-standard choice); documented deviation, mAP-neutral.
-- out-of-image samples contribute zero (mmcv skips samples with y < -1).
+- out-of-image samples contribute zero (mmcv skips samples with y < -1 or
+  y > H; boundary samples clamp inward) — verified element-exact against a
+  transcription of the mmcv CPU kernel in `tests/test_parity`.
 """
 
 from __future__ import annotations
@@ -53,8 +55,9 @@ def _axis_weights(lo: jnp.ndarray, bin_size: jnp.ndarray, out_size: int,
     samples = (jnp.arange(sr, dtype=lo.dtype) + 0.5) / sr
     pos = lo[:, None, None] + \
         (bins[None, :, None] + samples[None, None, :]) * bin_size[:, None, None]
-    # (R, out, sr)
-    valid = (pos > -1.0) & (pos < axis_len)
+    # (R, out, sr) — mmcv `bilinear_interpolate` skips only y < -1 or
+    # y > len (boundary values are valid and clamp inward)
+    valid = (pos >= -1.0) & (pos <= axis_len)
     pos_c = jnp.clip(pos, 0.0, axis_len - 1.0)
     x0 = jnp.floor(pos_c)
     frac = pos_c - x0
