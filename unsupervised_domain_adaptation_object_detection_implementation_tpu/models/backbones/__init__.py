@@ -3,6 +3,12 @@ from .da_resnet import DAResNet, Tap, VARIANT_TAPS
 from .swin import SwinTransformer
 from .misc_backbones import MobileNetV2, Darknet53
 from .csp_darknet import CSPDarknet
+from .zoo_backbones import Res2Net, RegNet, ResNeSt, SSDVGG, regnet_widths
+from .hrnet import HRNet
+from .pvt import PVT
+from .hourglass import HourglassNet
 
 __all__ = ['ResNet', 'Bottleneck', 'BasicBlock', 'DAResNet', 'Tap',
-           'VARIANT_TAPS', 'SwinTransformer', 'MobileNetV2', 'Darknet53', 'CSPDarknet']
+           'VARIANT_TAPS', 'SwinTransformer', 'MobileNetV2', 'Darknet53',
+           'CSPDarknet', 'Res2Net', 'RegNet', 'ResNeSt', 'SSDVGG',
+           'regnet_widths', 'HRNet', 'PVT', 'HourglassNet']
