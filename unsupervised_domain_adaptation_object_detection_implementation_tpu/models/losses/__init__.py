@@ -11,6 +11,9 @@ from .gan_loss import gan_lsgan_loss, cycle_consistency_loss
 from .gfocal_loss import (quality_focal_loss, distribution_focal_loss,
                           varifocal_loss, QualityFocalLoss,
                           DistributionFocalLoss, VarifocalLoss)
+from .extra_losses import (seesaw_ce_loss, dice_loss, ae_loss,
+                           knowledge_distillation_kl_div_loss, mse_loss,
+                           isr_p_weights, carl_weights)
 
 __all__ = [
     'weight_reduce_loss', 'reduce_loss', 'binary_cross_entropy',
@@ -22,5 +25,8 @@ __all__ = [
     'IoULoss', 'GIoULoss', 'accuracy', 'gan_lsgan_loss',
     'cycle_consistency_loss', 'quality_focal_loss',
     'distribution_focal_loss', 'varifocal_loss', 'QualityFocalLoss',
-    'DistributionFocalLoss', 'VarifocalLoss'
+    'DistributionFocalLoss', 'VarifocalLoss',
+    'seesaw_ce_loss', 'dice_loss', 'ae_loss',
+    'knowledge_distillation_kl_div_loss', 'mse_loss', 'isr_p_weights',
+    'carl_weights'
 ]
