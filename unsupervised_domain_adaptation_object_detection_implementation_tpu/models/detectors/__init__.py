@@ -13,5 +13,17 @@ from .ssd import SSDLite
 from .detr import DETR, TransformerLayer
 from .gfl import GFL, GFLHead
 from .yolox import YOLOX, YOLOXHead
+from .vfnet import VFNet, VFNetHead
+from .reppoints import RepPoints, RepPointsHead, points2bbox_moment
+from .yolof import YOLOF, YOLOFHead
+from .fsaf import FSAF, FSAFHead
+from .fovea import FoveaBox, FoveaHead
+from .free_anchor import FreeAnchor
+from .autoassign import AutoAssign
+from .paa import PAA, gmm_split
 
-__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead', 'YOLOX', 'YOLOXHead']
+__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead', 'YOLOX', 'YOLOXHead',
+           'VFNet', 'VFNetHead', 'RepPoints', 'RepPointsHead',
+           'points2bbox_moment', 'YOLOF', 'YOLOFHead', 'FSAF', 'FSAFHead',
+           'FoveaBox', 'FoveaHead', 'FreeAnchor', 'AutoAssign', 'PAA',
+           'gmm_split']
