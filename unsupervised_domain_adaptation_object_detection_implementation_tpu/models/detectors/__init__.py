@@ -24,10 +24,18 @@ from .paa import PAA, gmm_split
 from .deformable_detr import (DeformableDETR, MSDeformAttnLayer,
                               _focal_layer_loss)
 from .sparse_rcnn import SparseRCNN, DIIHead
+from .htc import HTC, HTCMaskHead, FusedSemanticHead
+from .roi_variants import (MaskScoringRCNN, MaskIoUHead, DoubleHeadRCNN,
+                           DoubleBBoxHead, DynamicRCNN, GridRCNN, GridHead,
+                           PointRend, PointHead)
 
 __all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead', 'YOLOX', 'YOLOXHead',
            'VFNet', 'VFNetHead', 'RepPoints', 'RepPointsHead',
            'points2bbox_moment', 'YOLOF', 'YOLOFHead', 'FSAF', 'FSAFHead',
            'FoveaBox', 'FoveaHead', 'FreeAnchor', 'AutoAssign', 'PAA',
            'gmm_split', 'DeformableDETR', 'MSDeformAttnLayer',
-           'SparseRCNN', 'DIIHead']
+           'SparseRCNN', 'DIIHead',
+           'HTC', 'HTCMaskHead', 'FusedSemanticHead',
+           'MaskScoringRCNN', 'MaskIoUHead', 'DoubleHeadRCNN',
+           'DoubleBBoxHead', 'DynamicRCNN', 'GridRCNN', 'GridHead',
+           'PointRend', 'PointHead']
