@@ -28,6 +28,9 @@ from .htc import HTC, HTCMaskHead, FusedSemanticHead
 from .roi_variants import (MaskScoringRCNN, MaskIoUHead, DoubleHeadRCNN,
                            DoubleBBoxHead, DynamicRCNN, GridRCNN, GridHead,
                            PointRend, PointHead)
+from .solo import SOLO, SOLOHead
+from .yolact import YOLACT, YOLACTProtonet
+from .cornernet import CornerNet, CornerPredictor
 
 __all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead', 'YOLOX', 'YOLOXHead',
            'VFNet', 'VFNetHead', 'RepPoints', 'RepPointsHead',
@@ -38,4 +41,6 @@ __all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAF
            'HTC', 'HTCMaskHead', 'FusedSemanticHead',
            'MaskScoringRCNN', 'MaskIoUHead', 'DoubleHeadRCNN',
            'DoubleBBoxHead', 'DynamicRCNN', 'GridRCNN', 'GridHead',
-           'PointRend', 'PointHead']
+           'PointRend', 'PointHead',
+           'SOLO', 'SOLOHead', 'YOLACT', 'YOLACTProtonet', 'CornerNet',
+           'CornerPredictor']
