@@ -1,9 +1,17 @@
 from .transforms import (LoadImageFromFile, LoadAnnotations, Resize,
                          RandomFlip, Normalize, Pad, PhotoMetricDistortion,
                          PackDetInputs, Compose, MultiScaleFlipAug,
-                         RandomCrop, Expand, MinIoURandomCrop, CutOut, Mosaic, MixUp)
+                         RandomCrop, Expand, MinIoURandomCrop, CutOut,
+                         Mosaic, MixUp)
+from .auto_augment import (AutoAugment, Shear, Rotate, Translate,
+                           ColorTransform, BrightnessTransform,
+                           ContrastTransform, EqualizeTransform,
+                           autoaug_policy_v0)
 
 __all__ = ['LoadImageFromFile', 'LoadAnnotations', 'Resize', 'RandomFlip',
            'Normalize', 'Pad', 'PhotoMetricDistortion', 'PackDetInputs',
            'Compose', 'MultiScaleFlipAug', 'RandomCrop', 'Expand',
-           'MinIoURandomCrop', 'CutOut', 'Mosaic', 'MixUp']
+           'MinIoURandomCrop', 'CutOut', 'Mosaic', 'MixUp',
+           'AutoAugment', 'Shear', 'Rotate', 'Translate', 'ColorTransform',
+           'BrightnessTransform', 'ContrastTransform', 'EqualizeTransform',
+           'autoaug_policy_v0']

@@ -120,11 +120,14 @@ def roi_align(feat: jnp.ndarray,
 
     def one_chunk(args):
         wy_c, wx_c = args
-        # x-interp first: (chunk, H, o, C); accumulate in fp32
+        # x-interp first: (chunk, H, o, C). MXU accumulates fp32; the
+        # result is stored back at feat dtype — at bf16 this HALVES the
+        # HBM round-trip of the (chunk, H, o, C) intermediate, which is
+        # what this op is bound by (~2 GB/step at bench shapes).
         t = jnp.einsum('row,hwc->rhoc', wx_c.astype(feat.dtype), feat,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32).astype(feat.dtype)
         # y-interp: (chunk, o, o, C)
-        out = jnp.einsum('roh,rhpc->ropc', wy_c.astype(jnp.float32), t,
+        out = jnp.einsum('roh,rhpc->ropc', wy_c.astype(feat.dtype), t,
                          preferred_element_type=jnp.float32)
         return out.astype(feat.dtype)
 
