@@ -31,6 +31,8 @@ from .roi_variants import (MaskScoringRCNN, MaskIoUHead, DoubleHeadRCNN,
 from .solo import SOLO, SOLOHead
 from .yolact import YOLACT, YOLACTProtonet
 from .cornernet import CornerNet, CornerPredictor
+from .sabl_retina import SABLRetinaNet, SABLRetinaHead
+from .ld import LDGFocal
 
 __all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead', 'YOLOX', 'YOLOXHead',
            'VFNet', 'VFNetHead', 'RepPoints', 'RepPointsHead',
@@ -43,4 +45,4 @@ __all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAF
            'DoubleBBoxHead', 'DynamicRCNN', 'GridRCNN', 'GridHead',
            'PointRend', 'PointHead',
            'SOLO', 'SOLOHead', 'YOLACT', 'YOLACTProtonet', 'CornerNet',
-           'CornerPredictor']
+           'CornerPredictor', 'SABLRetinaNet', 'SABLRetinaHead', 'LDGFocal']
