@@ -33,6 +33,8 @@ from .yolact import YOLACT, YOLACTProtonet
 from .cornernet import CornerNet, CornerPredictor
 from .sabl_retina import SABLRetinaNet, SABLRetinaHead
 from .ld import LDGFocal
+from .rpn_detectors import (RPN, FastRCNN, GARetinaNet, GARPN, CascadeRPN,
+                            GuidedAnchorHead)
 
 __all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead', 'YOLOX', 'YOLOXHead',
            'VFNet', 'VFNetHead', 'RepPoints', 'RepPointsHead',
@@ -45,4 +47,6 @@ __all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAF
            'DoubleBBoxHead', 'DynamicRCNN', 'GridRCNN', 'GridHead',
            'PointRend', 'PointHead',
            'SOLO', 'SOLOHead', 'YOLACT', 'YOLACTProtonet', 'CornerNet',
-           'CornerPredictor', 'SABLRetinaNet', 'SABLRetinaHead', 'LDGFocal']
+           'CornerPredictor', 'SABLRetinaNet', 'SABLRetinaHead', 'LDGFocal',
+           'RPN', 'FastRCNN', 'GARetinaNet', 'GARPN', 'CascadeRPN',
+           'GuidedAnchorHead']
