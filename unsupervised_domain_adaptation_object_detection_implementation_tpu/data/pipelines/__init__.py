@@ -8,7 +8,10 @@ from .auto_augment import (AutoAugment, Shear, Rotate, Translate,
                            ContrastTransform, EqualizeTransform,
                            autoaug_policy_v0)
 
-__all__ = ['LoadImageFromFile', 'LoadAnnotations', 'Resize', 'RandomFlip',
+from .third_party import Albu, InstaBoost
+
+__all__ = ['Albu', 'InstaBoost',
+           'LoadImageFromFile', 'LoadAnnotations', 'Resize', 'RandomFlip',
            'Normalize', 'Pad', 'PhotoMetricDistortion', 'PackDetInputs',
            'Compose', 'MultiScaleFlipAug', 'RandomCrop', 'Expand',
            'MinIoURandomCrop', 'CutOut', 'Mosaic', 'MixUp',

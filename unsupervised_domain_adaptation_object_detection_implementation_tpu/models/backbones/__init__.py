@@ -8,7 +8,9 @@ from .hrnet import HRNet
 from .pvt import PVT
 from .hourglass import HourglassNet
 
-__all__ = ['ResNet', 'Bottleneck', 'BasicBlock', 'DAResNet', 'Tap',
+from .trident_resnet import TridentResNet, TridentBlock
+
+__all__ = ['TridentResNet', 'TridentBlock', 'ResNet', 'Bottleneck', 'BasicBlock', 'DAResNet', 'Tap',
            'VARIANT_TAPS', 'SwinTransformer', 'MobileNetV2', 'Darknet53',
            'CSPDarknet', 'Res2Net', 'RegNet', 'ResNeSt', 'SSDVGG',
            'regnet_widths', 'HRNet', 'PVT', 'HourglassNet']

@@ -35,6 +35,11 @@ from .sabl_retina import SABLRetinaNet, SABLRetinaHead
 from .ld import LDGFocal
 from .rpn_detectors import (RPN, FastRCNN, GARetinaNet, GARPN, CascadeRPN,
                             GuidedAnchorHead)
+from .ld import LAD
+from .nasfcos import NASFCOS
+from .queryinst import QueryInst, DynamicMaskHead
+from .scnet import SCNet, GlobalContextHead, FeatRelayHead
+from .trident_faster_rcnn import TridentFasterRCNN
 
 __all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead', 'YOLOX', 'YOLOXHead',
            'VFNet', 'VFNetHead', 'RepPoints', 'RepPointsHead',
@@ -49,4 +54,6 @@ __all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAF
            'SOLO', 'SOLOHead', 'YOLACT', 'YOLACTProtonet', 'CornerNet',
            'CornerPredictor', 'SABLRetinaNet', 'SABLRetinaHead', 'LDGFocal',
            'RPN', 'FastRCNN', 'GARetinaNet', 'GARPN', 'CascadeRPN',
-           'GuidedAnchorHead']
+           'GuidedAnchorHead', 'LAD', 'NASFCOS', 'QueryInst',
+           'DynamicMaskHead', 'SCNet', 'GlobalContextHead', 'FeatRelayHead',
+           'TridentFasterRCNN']

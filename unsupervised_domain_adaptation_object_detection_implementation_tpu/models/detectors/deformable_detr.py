@@ -274,7 +274,8 @@ class DeformableDETR(nn.Module):
 
 
 def _focal_layer_loss(cls, box, gt_norm, gt_labels, gt_valid, num_classes,
-                      cls_weight=2.0, l1_weight=5.0, giou_weight=2.0):
+                      cls_weight=2.0, l1_weight=5.0, giou_weight=2.0,
+                      return_match=False):
     """Hungarian loss with sigmoid-focal classification
     (`deformable_detr_head.py` / `match_costs.py:FocalLossCost`)."""
     q = cls.shape[0]
@@ -309,5 +310,12 @@ def _focal_layer_loss(cls, box, gt_norm, gt_labels, gt_valid, num_classes,
                                   _cxcywh_to_xyxy(gt_norm[gi]),
                                   reduction='none') * w)
     n = jnp.maximum(jnp.sum(w), 1.0)
+    if return_match:
+        # per-query matched gt index (or -1) for mask supervision consumers
+        # (QueryInst); scatter of the Hungarian pairing back onto queries
+        match = jnp.full((q,), -1, jnp.int32)
+        match = match.at[qi].set(jnp.where(pair_valid, gi, -1))
+        return (cls_weight * loss_cls, l1_weight * loss_l1 / n,
+                giou_weight * loss_giou / n, match)
     return (cls_weight * loss_cls, l1_weight * loss_l1 / n,
             giou_weight * loss_giou / n)

@@ -76,3 +76,48 @@ class LDGFocal(nn.Module):
         if train:
             return self.loss(batch)
         return self.predict(batch)
+
+
+@DETECTORS.register_module()
+class LAD(nn.Module):
+    """Label Assignment Distillation (reference
+    `mmdet/models/detectors/lad.py` + `dense_heads/lad_head.py`): a PAA
+    student whose probabilistic anchor assignment is computed from a frozen
+    teacher's predictions (`lad_head.py:get_label_assignment`), while the
+    losses supervise the student."""
+
+    num_classes: int = 80
+    backbone_depth: int = 18
+    teacher_depth: int = 50
+    frozen_stages: int = 1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from .paa import PAA
+        self.student = PAA(num_classes=self.num_classes,
+                           backbone_depth=self.backbone_depth,
+                           frozen_stages=self.frozen_stages,
+                           dtype=self.dtype, name='student')
+        self.teacher = PAA(num_classes=self.num_classes,
+                           backbone_depth=self.teacher_depth,
+                           frozen_stages=4, dtype=self.dtype, name='teacher')
+
+    def loss(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        from .paa import paa_loss
+        cls, reg, iou_p, anchors, lvl_ids = self.student._forward_flat(
+            batch['image'])
+        t_cls, t_reg, _, _, _ = self.teacher._forward_flat(batch['image'])
+        return paa_loss(
+            cls, reg, iou_p, anchors, lvl_ids, batch,
+            self.student.num_classes, len(self.student.strides),
+            self.student.topk_per_level,
+            assign_cls=jax.lax.stop_gradient(t_cls),
+            assign_reg=jax.lax.stop_gradient(t_reg))
+
+    def predict(self, batch):
+        return self.student.predict(batch)
+
+    def __call__(self, batch, train: bool = True):
+        if train:
+            return self.loss(batch)
+        return self.predict(batch)

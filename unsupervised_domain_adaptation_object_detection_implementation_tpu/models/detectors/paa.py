@@ -116,76 +116,9 @@ class PAA(nn.Module):
     def loss(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         cls, reg, iou_p, anchors, lvl_ids = self._forward_flat(
             batch['image'])
-        C = self.num_classes
-        L = len(self.strides)
-        K = self.topk_per_level
-
-        def per_image(cls_i, reg_i, iou_i, gt, gtl, gtv):
-            gl = jnp.clip(gtl, 0, C - 1)
-            p = jax.nn.sigmoid(jax.lax.stop_gradient(
-                cls_i.astype(jnp.float32)))
-            boxes = delta2bbox(anchors, reg_i.astype(jnp.float32))
-            ious_all = bbox_overlaps(gt, jax.lax.stop_gradient(boxes))
-            # joint candidate loss: -log p_cls[gt class] - log IoU
-            cand_loss = -jnp.log(jnp.maximum(p[:, gl].T, 1e-8)) \
-                - jnp.log(jnp.maximum(ious_all, 1e-8))       # (G, N)
-            # candidates must have center inside gt (ATSS spirit)
-            ax = (anchors[:, 0] + anchors[:, 2]) * 0.5
-            ay = (anchors[:, 1] + anchors[:, 3]) * 0.5
-            inside = ((ax[None] >= gt[:, 0:1]) & (ax[None] <= gt[:, 2:3])
-                      & (ay[None] >= gt[:, 1:2]) & (ay[None] <= gt[:, 3:4]))
-            cand_loss = jnp.where(inside & gtv[:, None], cand_loss, 1e8)
-
-            # top-K per level per gt
-            idxs, vals, valids = [], [], []
-            for li in range(L):
-                masked = jnp.where(lvl_ids[None, :] == li, -cand_loss,
-                                   -1e9)
-                v, ix = jax.lax.top_k(masked, K)             # (G, K)
-                idxs.append(ix)
-                vals.append(-v)
-                valids.append(v > -1e8)
-            cand_idx = jnp.concatenate(idxs, axis=1)          # (G, L*K)
-            cand_val = jnp.concatenate(vals, axis=1)
-            cand_ok = jnp.concatenate(valids, axis=1) & gtv[:, None]
-
-            pos_mask_cand = gmm_split(cand_val, cand_ok)      # (G, L*K)
-
-            # scatter to anchor space; contested anchors -> lowest loss gt
-            n = anchors.shape[0]
-            big = 1e8
-            loss_at = jnp.full((n,), big)
-            gt_at = jnp.zeros((n,), jnp.int32)
-            flat_idx = cand_idx.reshape(-1)
-            flat_loss = jnp.where(pos_mask_cand, cand_val, big).reshape(-1)
-            loss_at = loss_at.at[flat_idx].min(flat_loss)
-            # winner gt = argmin over gts of (loss if assigned else big)
-            per_gt_loss = jnp.full((gt.shape[0], n), big)
-            per_gt_loss = jax.vmap(
-                lambda row, ix, ls: row.at[ix].min(ls))(
-                per_gt_loss, cand_idx,
-                jnp.where(pos_mask_cand, cand_val, big))
-            gt_at = jnp.argmin(per_gt_loss, axis=0).astype(jnp.int32)
-            pos = loss_at < big / 2
-
-            labels = jnp.where(pos, gl[gt_at], C)
-            cls_l = sigmoid_focal_loss(cls_i, labels, reduction='sum')
-            gt_m = gt[gt_at]
-            pos_f = pos.astype(jnp.float32)
-            reg_l = giou_loss(boxes, gt_m, weight=pos_f, reduction='sum')
-            iou_t = jax.vmap(lambda b, g: bbox_overlaps(
-                b[None], g[None])[0, 0])(jax.lax.stop_gradient(boxes), gt_m)
-            iou_l = binary_cross_entropy(iou_i[:, 0], iou_t, weight=pos_f,
-                                         reduction='sum')
-            return cls_l, reg_l, iou_l, jnp.sum(pos_f)
-
-        cls_l, reg_l, iou_l, npos = jax.vmap(per_image)(
-            cls, reg, iou_p, batch['gt_bboxes'], batch['gt_labels'],
-            batch['gt_valid'])
-        denom = jnp.maximum(jnp.sum(npos), 1.0)
-        return dict(loss_cls=jnp.sum(cls_l) / denom,
-                    loss_bbox=1.3 * jnp.sum(reg_l) / denom,
-                    loss_iou=0.5 * jnp.sum(iou_l) / denom)
+        return paa_loss(cls, reg, iou_p, anchors, lvl_ids, batch,
+                        self.num_classes, len(self.strides),
+                        self.topk_per_level)
 
     def predict(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         cls, reg, iou_p, anchors, _ = self._forward_flat(batch['image'])
@@ -223,3 +156,87 @@ class PAA(nn.Module):
         if train:
             return self.loss(batch)
         return self.predict(batch)
+
+
+def paa_loss(cls, reg, iou_p, anchors, lvl_ids, batch, C, L, K,
+             assign_cls=None, assign_reg=None):
+    """PAA losses over flattened level preds.
+
+    `assign_cls`/`assign_reg` optionally supply the predictions that DRIVE
+    the probabilistic assignment (GMM over candidate losses) while
+    `cls`/`reg`/`iou_p` are the predictions being SUPERVISED. With the
+    defaults they are the same tensors — vanilla PAA. LAD (reference
+    `mmdet/models/detectors/lad.py` + `lad_head.py`) passes a frozen
+    teacher's preds as the assignment source.
+    """
+    if assign_cls is None:
+        assign_cls = cls
+    if assign_reg is None:
+        assign_reg = reg
+
+    def per_image(cls_i, reg_i, iou_i, acls_i, areg_i, gt, gtl, gtv):
+        gl = jnp.clip(gtl, 0, C - 1)
+        p = jax.nn.sigmoid(jax.lax.stop_gradient(
+            acls_i.astype(jnp.float32)))
+        aboxes = delta2bbox(anchors, jax.lax.stop_gradient(
+            areg_i.astype(jnp.float32)))
+        boxes = delta2bbox(anchors, reg_i.astype(jnp.float32))
+        ious_all = bbox_overlaps(gt, aboxes)
+        # joint candidate loss: -log p_cls[gt class] - log IoU
+        cand_loss = -jnp.log(jnp.maximum(p[:, gl].T, 1e-8)) \
+            - jnp.log(jnp.maximum(ious_all, 1e-8))       # (G, N)
+        # candidates must have center inside gt (ATSS spirit)
+        ax = (anchors[:, 0] + anchors[:, 2]) * 0.5
+        ay = (anchors[:, 1] + anchors[:, 3]) * 0.5
+        inside = ((ax[None] >= gt[:, 0:1]) & (ax[None] <= gt[:, 2:3])
+                  & (ay[None] >= gt[:, 1:2]) & (ay[None] <= gt[:, 3:4]))
+        cand_loss = jnp.where(inside & gtv[:, None], cand_loss, 1e8)
+
+        # top-K per level per gt
+        idxs, vals, valids = [], [], []
+        for li in range(L):
+            masked = jnp.where(lvl_ids[None, :] == li, -cand_loss, -1e9)
+            v, ix = jax.lax.top_k(masked, K)             # (G, K)
+            idxs.append(ix)
+            vals.append(-v)
+            valids.append(v > -1e8)
+        cand_idx = jnp.concatenate(idxs, axis=1)          # (G, L*K)
+        cand_val = jnp.concatenate(vals, axis=1)
+        cand_ok = jnp.concatenate(valids, axis=1) & gtv[:, None]
+
+        pos_mask_cand = gmm_split(cand_val, cand_ok)      # (G, L*K)
+
+        # scatter to anchor space; contested anchors -> lowest loss gt
+        n = anchors.shape[0]
+        big = 1e8
+        loss_at = jnp.full((n,), big)
+        flat_idx = cand_idx.reshape(-1)
+        flat_loss = jnp.where(pos_mask_cand, cand_val, big).reshape(-1)
+        loss_at = loss_at.at[flat_idx].min(flat_loss)
+        # winner gt = argmin over gts of (loss if assigned else big)
+        per_gt_loss = jnp.full((gt.shape[0], n), big)
+        per_gt_loss = jax.vmap(
+            lambda row, ix, ls: row.at[ix].min(ls))(
+            per_gt_loss, cand_idx,
+            jnp.where(pos_mask_cand, cand_val, big))
+        gt_at = jnp.argmin(per_gt_loss, axis=0).astype(jnp.int32)
+        pos = loss_at < big / 2
+
+        labels = jnp.where(pos, gl[gt_at], C)
+        cls_l = sigmoid_focal_loss(cls_i, labels, reduction='sum')
+        gt_m = gt[gt_at]
+        pos_f = pos.astype(jnp.float32)
+        reg_l = giou_loss(boxes, gt_m, weight=pos_f, reduction='sum')
+        iou_t = jax.vmap(lambda b, g: bbox_overlaps(
+            b[None], g[None])[0, 0])(jax.lax.stop_gradient(boxes), gt_m)
+        iou_l = binary_cross_entropy(iou_i[:, 0], iou_t, weight=pos_f,
+                                     reduction='sum')
+        return cls_l, reg_l, iou_l, jnp.sum(pos_f)
+
+    cls_l, reg_l, iou_l, npos = jax.vmap(per_image)(
+        cls, reg, iou_p, assign_cls, assign_reg, batch['gt_bboxes'],
+        batch['gt_labels'], batch['gt_valid'])
+    denom = jnp.maximum(jnp.sum(npos), 1.0)
+    return dict(loss_cls=jnp.sum(cls_l) / denom,
+                loss_bbox=1.3 * jnp.sum(reg_l) / denom,
+                loss_iou=0.5 * jnp.sum(iou_l) / denom)

@@ -129,3 +129,202 @@ def roi_align_pallas(feats: jnp.ndarray,
         interpret=interpret,
     )(feats, wy, wx)
     return out.reshape(b, n_chunks * chunk, out_size, out_size, c)[:, :r]
+
+
+# ---------------------------------------------------------------------------
+# v2: batched-RoI kernel (VERDICT r1 item 3). The v1 kernel above loops
+# per-RoI with M=7 dots; here the x-interp is ONE (chunk·o, W) @ (W, Cs) dot
+# per feature row (M=448 at chunk 64 — MXU-shaped) and the y-interp is a
+# VPU multiply-accumulate over the 32 feature rows, all inside VMEM. The
+# (R, H, o, C) intermediate never touches HBM. Backward is a mirrored
+# kernel (grad wrt feat only — RoIs are stop-gradient proposals on every
+# caller path, matching mmcv RoIAlign's non-differentiable-in-rois CUDA op).
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(feat_ref, wy_ref, wx_ref, out_ref, t_ref, *, chunk, out_size):
+    """Blocks: feat (1, H, W, Cs) · wy (1, 1, H, chunk, o) ·
+    wx (1, 1, chunk, o, W) → out (1, 1, chunk, o, o, Cs).
+    t scratch: (H, chunk*o, Cs) bf16. The h loop indexes only LEADING
+    ref dims (dynamic lane slicing is not lowerable on TPU)."""
+    _, h, w, cs = feat_ref.shape
+    o = out_size
+    wx2d = wx_ref[0, 0].reshape(chunk * o, w)
+
+    def xpass(hi, _):
+        t_ref[hi] = jnp.dot(wx2d, feat_ref[0, hi],
+                            preferred_element_type=jnp.float32
+                            ).astype(t_ref.dtype)
+        return ()
+
+    jax.lax.fori_loop(0, h, xpass, ())
+
+    def ypass(hi, acc):
+        t_h = t_ref[hi].reshape(chunk, 1, o, cs).astype(jnp.float32)
+        w_h = wy_ref[0, 0, hi].reshape(chunk, o, 1, 1).astype(jnp.float32)
+        return acc + w_h * t_h
+
+    acc = jax.lax.fori_loop(
+        0, h, ypass, jnp.zeros((chunk, o, o, cs), jnp.float32))
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
+
+
+def _bwd_kernel(g_ref, wy_ref, wx_ref, gf_ref, acc_ref, *, chunk, out_size,
+                n_chunks):
+    """Blocks: g (1, 1, chunk, o, o, Cs) · wy/wx as fwd → grad_feat
+    (1, H, W, Cs), accumulated across the roi-chunk grid axis (innermost)."""
+    _, h, w, cs = gf_ref.shape
+    o = out_size
+    ri = pl.program_id(2)
+    g = g_ref[0, 0].astype(jnp.float32)                  # (chunk, o, o, Cs)
+    wx2d = wx_ref[0, 0].reshape(chunk * o, w)            # (chunk*o, W)
+
+    @pl.when(ri == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def per_row(hi, _):
+        # u[r, ox, c] = sum_oy wy[r, oy, hi] * g[r, oy, ox, c]  (VPU)
+        w_h = wy_ref[0, 0, hi].astype(jnp.float32)       # (chunk, o)
+        u = jnp.sum(w_h[:, :, None, None] * g, axis=1)
+        # grad_feat[hi] += wx2d^T @ u   — (W, chunk*o) @ (chunk*o, Cs)
+        acc_ref[hi] += jnp.dot(wx2d.T.astype(jnp.float32),
+                               u.reshape(chunk * o, cs),
+                               preferred_element_type=jnp.float32)
+        return ()
+
+    jax.lax.fori_loop(0, h, per_row, ())
+
+    @pl.when(ri == n_chunks - 1)
+    def _flush():
+        gf_ref[0] = acc_ref[:].astype(gf_ref.dtype)
+
+
+def _prep_weights(rois, spatial_scale, out_size, sampling_ratio, aligned,
+                  h, w, chunk, dtype):
+    offset = 0.5 if aligned else 0.0
+    scaled = rois * spatial_scale
+    x1 = scaled[..., 0] - offset
+    y1 = scaled[..., 1] - offset
+    roi_w = scaled[..., 2] - scaled[..., 0]
+    roi_h = scaled[..., 3] - scaled[..., 1]
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    wx = jax.vmap(lambda l, s: _axis_weights(
+        l, s, out_size, sampling_ratio, w))(x1, roi_w / out_size)
+    wy = jax.vmap(lambda l, s: _axis_weights(
+        l, s, out_size, sampling_ratio, h))(y1, roi_h / out_size)
+    b, r = rois.shape[:2]
+    pad_r = (-r) % chunk
+    if pad_r:
+        wx = jnp.pad(wx, ((0, 0), (0, pad_r), (0, 0), (0, 0)))
+        wy = jnp.pad(wy, ((0, 0), (0, pad_r), (0, 0), (0, 0)))
+    n_chunks = (r + pad_r) // chunk
+    wx = wx.reshape(b, n_chunks, chunk, out_size, w).astype(dtype)
+    wy = wy.reshape(b, n_chunks, chunk, out_size, h).astype(dtype)
+    return wx, wy, n_chunks
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def roi_align_fused(feats, rois, spatial_scale, out_size=7,
+                    sampling_ratio=2, aligned=True, roi_chunk=64,
+                    c_slab=256, interpret=False):
+    """Batched fused RoIAlign: (B,H,W,C) × (B,R,4) → (B,R,o,o,C).
+
+    Numerics match `ops.roi_align.batched_roi_align` (same `_axis_weights`);
+    gradient flows to `feats` only (RoIs are non-differentiable, as in the
+    reference CUDA op's usage — proposals are detached upstream,
+    `mmdet/models/roi_heads/standard_roi_head.py` forward_train).
+    """
+    out, _ = _fused_fwd(feats, rois, spatial_scale, out_size,
+                        sampling_ratio, aligned, roi_chunk, c_slab,
+                        interpret)
+    return out
+
+
+def _fused_fwd(feats, rois, spatial_scale, out_size, sampling_ratio,
+               aligned, roi_chunk, c_slab, interpret=False):
+    b, h, w, c = feats.shape
+    r = rois.shape[1]
+    chunk = min(roi_chunk, r)
+    wx, wy, n_chunks = _prep_weights(rois, spatial_scale, out_size,
+                                     sampling_ratio, aligned, h, w, chunk,
+                                     feats.dtype)
+    cs = min(c_slab, c)
+    assert c % cs == 0
+    n_slabs = c // cs
+    o = out_size
+    wy = wy.transpose(0, 1, 4, 2, 3)        # (B, nc, H, chunk, o)
+
+    out = pl.pallas_call(
+        partial(_fwd_kernel, chunk=chunk, out_size=o),
+        grid=(b, n_slabs, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, h, w, cs), lambda bi, ci, ri: (bi, 0, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, chunk, o),
+                         lambda bi, ci, ri: (bi, ri, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk, o, w),
+                         lambda bi, ci, ri: (bi, ri, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, chunk, o, o, cs),
+            lambda bi, ci, ri: (bi, ri, 0, 0, 0, ci),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_chunks, chunk, o, o, c),
+                                       feats.dtype),
+        scratch_shapes=[pltpu.VMEM((h, chunk * o, cs), feats.dtype)],
+        interpret=interpret,
+    )(feats, wy, wx)
+    out = out.reshape(b, n_chunks * chunk, o, o, c)[:, :r]
+    return out, (rois, feats.shape, feats.dtype)
+
+
+def _fused_bwd(spatial_scale, out_size, sampling_ratio, aligned, roi_chunk,
+               c_slab, interpret, res, g):
+    rois, feat_shape, feat_dtype = res
+    b, h, w, c = feat_shape
+    r = rois.shape[1]
+    chunk = min(roi_chunk, r)
+    wx, wy, n_chunks = _prep_weights(rois, spatial_scale, out_size,
+                                     sampling_ratio, aligned, h, w, chunk,
+                                     feat_dtype)
+    cs = min(c_slab, c)
+    n_slabs = c // cs
+    o = out_size
+    pad_r = n_chunks * chunk - r
+    if pad_r:
+        g = jnp.pad(g, ((0, 0), (0, pad_r), (0, 0), (0, 0), (0, 0)))
+    g = g.reshape(b, n_chunks, chunk, o, o, c).astype(feat_dtype)
+    wy = wy.transpose(0, 1, 4, 2, 3)        # (B, nc, H, chunk, o)
+
+    gf = pl.pallas_call(
+        partial(_bwd_kernel, chunk=chunk, out_size=o, n_chunks=n_chunks),
+        grid=(b, n_slabs, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk, o, o, cs),
+                         lambda bi, ci, ri: (bi, ri, 0, 0, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, chunk, o),
+                         lambda bi, ci, ri: (bi, ri, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk, o, w),
+                         lambda bi, ci, ri: (bi, ri, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, cs),
+                               lambda bi, ci, ri: (bi, 0, 0, ci),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), feat_dtype),
+        scratch_shapes=[pltpu.VMEM((h, w, cs), jnp.float32)],
+        interpret=interpret,
+    )(g, wy, wx)
+    return gf, jnp.zeros_like(rois)
+
+
+roi_align_fused.defvjp(
+    lambda feats, rois, *a: _fused_fwd(feats, rois, *a),
+    _fused_bwd)
