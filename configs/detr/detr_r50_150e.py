@@ -1,0 +1,7 @@
+# reference configs/detr/ model-zoo family
+_base_ = [
+    '../_base_/datasets/coco_detection.py',
+    '../_base_/schedules/schedule_1x.py',
+    '../_base_/default_runtime.py',
+]
+model = dict(type='DETR', backbone_depth=50, num_classes=80)

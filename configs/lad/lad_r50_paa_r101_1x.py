@@ -1,0 +1,7 @@
+# reference configs/lad/ model-zoo family
+_base_ = [
+    '../_base_/datasets/coco_detection.py',
+    '../_base_/schedules/schedule_1x.py',
+    '../_base_/default_runtime.py',
+]
+model = dict(type='LAD', backbone_depth=50, teacher_depth=101, num_classes=80)

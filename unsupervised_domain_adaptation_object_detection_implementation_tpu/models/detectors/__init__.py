@@ -40,6 +40,8 @@ from .nasfcos import NASFCOS
 from .queryinst import QueryInst, DynamicMaskHead
 from .scnet import SCNet, GlobalContextHead, FeatRelayHead
 from .trident_faster_rcnn import TridentFasterRCNN
+from .panoptic_fpn import (PanopticFPN, PanopticFPNHead, heuristic_fuse,
+                           INSTANCE_OFFSET)
 
 __all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead', 'YOLOX', 'YOLOXHead',
            'VFNet', 'VFNetHead', 'RepPoints', 'RepPointsHead',
@@ -56,4 +58,5 @@ __all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAF
            'RPN', 'FastRCNN', 'GARetinaNet', 'GARPN', 'CascadeRPN',
            'GuidedAnchorHead', 'LAD', 'NASFCOS', 'QueryInst',
            'DynamicMaskHead', 'SCNet', 'GlobalContextHead', 'FeatRelayHead',
-           'TridentFasterRCNN']
+           'TridentFasterRCNN', 'PanopticFPN', 'PanopticFPNHead',
+           'heuristic_fuse', 'INSTANCE_OFFSET']

@@ -111,8 +111,8 @@ def heuristic_fuse(dets: np.ndarray, labels: np.ndarray, valid: np.ndarray,
     for i in order:
         if not valid[i]:
             continue
-        m = paste_masks(masks[i:i + 1], dets[i:i + 1, :4], (h, w))[0] \
-            > mask_thr
+        m = paste_masks(masks[i:i + 1], dets[i:i + 1, :4], h, w,
+                        thr=mask_thr)[0]
         area = m.sum()
         if area == 0:
             continue

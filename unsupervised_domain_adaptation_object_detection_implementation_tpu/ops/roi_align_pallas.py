@@ -142,11 +142,14 @@ def roi_align_pallas(feats: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(feat_ref, wy_ref, wx_ref, out_ref, t_ref, *, chunk, out_size):
-    """Blocks: feat (1, H, W, Cs) · wy (1, 1, H, chunk, o) ·
-    wx (1, 1, chunk, o, W) → out (1, 1, chunk, o, o, Cs).
-    t scratch: (H, chunk*o, Cs) bf16. The h loop indexes only LEADING
-    ref dims (dynamic lane slicing is not lowerable on TPU)."""
+def _fwd_kernel(feat_ref, wye_ref, wx_ref, out_ref, t_ref, *, chunk,
+                out_size):
+    """Blocks: feat (1, H, W, Cs) · wye (1, 1, H, o, chunk*o) ·
+    wx (1, 1, chunk, o, W) → out (1, 1, o, chunk*o, Cs).
+    t scratch: (H, chunk*o, Cs) bf16. wye pre-expands wy[r, oy, h] to a
+    per-ROW scale over the (chunk*o) x-pass rows, so the y-pass is plain
+    (M, 1)x(M, Cs) row scaling — no trailing-singleton reshapes (Mosaic
+    cannot lower those) and no dynamic lane slicing."""
     _, h, w, cs = feat_ref.shape
     o = out_size
     wx2d = wx_ref[0, 0].reshape(chunk * o, w)
@@ -159,37 +162,45 @@ def _fwd_kernel(feat_ref, wy_ref, wx_ref, out_ref, t_ref, *, chunk, out_size):
 
     jax.lax.fori_loop(0, h, xpass, ())
 
-    def ypass(hi, acc):
-        t_h = t_ref[hi].reshape(chunk, 1, o, cs).astype(jnp.float32)
-        w_h = wy_ref[0, 0, hi].reshape(chunk, o, 1, 1).astype(jnp.float32)
-        return acc + w_h * t_h
+    # y-pass: per-oy 2D row scaling (chunk*o, 1) x (chunk*o, Cs) — keeps
+    # every op on aligned (sublane, lane) layouts; 3-D broadcasts with a
+    # size-1 lane dim mis-lower on unaligned shapes
+    def ypass(hi, accs):
+        t_h = t_ref[hi].astype(jnp.float32)              # (chunk*o, Cs)
+        return tuple(
+            accs[oy] + wye_ref[0, 0, hi, oy].astype(
+                jnp.float32)[:, None] * t_h
+            for oy in range(o))
 
-    acc = jax.lax.fori_loop(
-        0, h, ypass, jnp.zeros((chunk, o, o, cs), jnp.float32))
-    out_ref[0, 0] = acc.astype(out_ref.dtype)
+    zero = jnp.zeros((chunk * o, cs), jnp.float32)
+    accs = jax.lax.fori_loop(0, h, ypass, (zero,) * o)
+    for oy in range(o):
+        out_ref[0, 0, oy] = accs[oy].astype(out_ref.dtype)
 
 
-def _bwd_kernel(g_ref, wy_ref, wx_ref, gf_ref, acc_ref, *, chunk, out_size,
-                n_chunks):
-    """Blocks: g (1, 1, chunk, o, o, Cs) · wy/wx as fwd → grad_feat
-    (1, H, W, Cs), accumulated across the roi-chunk grid axis (innermost)."""
+def _bwd_kernel(g_ref, wye_ref, wx_ref, gf_ref, acc_ref, *, chunk,
+                out_size, n_chunks):
+    """Blocks: g (1, 1, o, chunk*o, Cs) [oy-major like fwd out] ·
+    wye (1, 1, H, o, chunk*o) · wx as fwd → grad_feat (1, H, W, Cs),
+    accumulated across the roi-chunk grid axis (innermost)."""
     _, h, w, cs = gf_ref.shape
     o = out_size
     ri = pl.program_id(2)
-    g = g_ref[0, 0].astype(jnp.float32)                  # (chunk, o, o, Cs)
     wx2d = wx_ref[0, 0].reshape(chunk * o, w)            # (chunk*o, W)
+    wxT = wx2d.T.astype(jnp.float32)                     # (W, chunk*o)
 
     @pl.when(ri == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def per_row(hi, _):
-        # u[r, ox, c] = sum_oy wy[r, oy, hi] * g[r, oy, ox, c]  (VPU)
-        w_h = wy_ref[0, 0, hi].astype(jnp.float32)       # (chunk, o)
-        u = jnp.sum(w_h[:, :, None, None] * g, axis=1)
-        # grad_feat[hi] += wx2d^T @ u   — (W, chunk*o) @ (chunk*o, Cs)
-        acc_ref[hi] += jnp.dot(wx2d.T.astype(jnp.float32),
-                               u.reshape(chunk * o, cs),
+        # u[(r,ox), c] = sum_oy wye[hi, oy, (r,ox)] * g[oy, (r,ox), c] —
+        # unrolled over oy as 2D row scalings (see fwd ypass note)
+        u = jnp.zeros((chunk * o, cs), jnp.float32)
+        for oy in range(o):
+            u = u + wye_ref[0, 0, hi, oy].astype(
+                jnp.float32)[:, None] * g_ref[0, 0, oy].astype(jnp.float32)
+        acc_ref[hi] += jnp.dot(wxT, u,
                                preferred_element_type=jnp.float32)
         return ()
 
@@ -255,7 +266,9 @@ def _fused_fwd(feats, rois, spatial_scale, out_size, sampling_ratio,
     assert c % cs == 0
     n_slabs = c // cs
     o = out_size
-    wy = wy.transpose(0, 1, 4, 2, 3)        # (B, nc, H, chunk, o)
+    # expand wy (B,nc,chunk,o,H) → row-scale layout (B,nc,H,o,chunk*o):
+    # wye[..., h, oy, r*o + ox] = wy[..., r, oy, h] for every ox
+    wye = jnp.repeat(wy.transpose(0, 1, 4, 3, 2), o, axis=-1)
 
     out = pl.pallas_call(
         partial(_fwd_kernel, chunk=chunk, out_size=o),
@@ -263,7 +276,7 @@ def _fused_fwd(feats, rois, spatial_scale, out_size, sampling_ratio,
         in_specs=[
             pl.BlockSpec((1, h, w, cs), lambda bi, ci, ri: (bi, 0, 0, ci),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h, chunk, o),
+            pl.BlockSpec((1, 1, h, o, chunk * o),
                          lambda bi, ci, ri: (bi, ri, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, chunk, o, w),
@@ -271,23 +284,31 @@ def _fused_fwd(feats, rois, spatial_scale, out_size, sampling_ratio,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, chunk, o, o, cs),
-            lambda bi, ci, ri: (bi, ri, 0, 0, 0, ci),
+            (1, 1, o, chunk * o, cs),
+            lambda bi, ci, ri: (bi, ri, 0, 0, ci),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_chunks, chunk, o, o, c),
+        out_shape=jax.ShapeDtypeStruct((b, n_chunks, o, chunk * o, c),
                                        feats.dtype),
         scratch_shapes=[pltpu.VMEM((h, chunk * o, cs), feats.dtype)],
         interpret=interpret,
-    )(feats, wy, wx)
+    )(feats, wye, wx)
+    # (B, nc, oy, chunk*ox, C) → (B, R, oy, ox, C)
+    out = out.reshape(b, n_chunks, o, chunk, o, c).transpose(0, 1, 3, 2, 4, 5)
     out = out.reshape(b, n_chunks * chunk, o, o, c)[:, :r]
-    return out, (rois, feats.shape, feats.dtype)
+    # residuals must be jax values; a zero (H, W) array carries the feat
+    # shape/dtype statically through its aval (b and C are recoverable
+    # from g/rois in the bwd rule)
+    shape_token = jnp.zeros((h, w), feats.dtype)
+    return out, (rois, shape_token)
 
 
 def _fused_bwd(spatial_scale, out_size, sampling_ratio, aligned, roi_chunk,
                c_slab, interpret, res, g):
-    rois, feat_shape, feat_dtype = res
-    b, h, w, c = feat_shape
-    r = rois.shape[1]
+    rois, shape_token = res
+    h, w = shape_token.shape
+    feat_dtype = shape_token.dtype
+    b, r = rois.shape[:2]
+    c = g.shape[-1]
     chunk = min(roi_chunk, r)
     wx, wy, n_chunks = _prep_weights(rois, spatial_scale, out_size,
                                      sampling_ratio, aligned, h, w, chunk,
@@ -298,17 +319,19 @@ def _fused_bwd(spatial_scale, out_size, sampling_ratio, aligned, roi_chunk,
     pad_r = n_chunks * chunk - r
     if pad_r:
         g = jnp.pad(g, ((0, 0), (0, pad_r), (0, 0), (0, 0), (0, 0)))
-    g = g.reshape(b, n_chunks, chunk, o, o, c).astype(feat_dtype)
-    wy = wy.transpose(0, 1, 4, 2, 3)        # (B, nc, H, chunk, o)
+    # (B, R, oy, ox, C) → fwd-out layout (B, nc, oy, chunk*ox, C)
+    g = g.reshape(b, n_chunks, chunk, o, o, c).transpose(0, 1, 3, 2, 4, 5)
+    g = g.reshape(b, n_chunks, o, chunk * o, c).astype(feat_dtype)
+    wye = jnp.repeat(wy.transpose(0, 1, 4, 3, 2), o, axis=-1)
 
     gf = pl.pallas_call(
         partial(_bwd_kernel, chunk=chunk, out_size=o, n_chunks=n_chunks),
         grid=(b, n_slabs, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, chunk, o, o, cs),
-                         lambda bi, ci, ri: (bi, ri, 0, 0, 0, ci),
+            pl.BlockSpec((1, 1, o, chunk * o, cs),
+                         lambda bi, ci, ri: (bi, ri, 0, 0, ci),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, h, chunk, o),
+            pl.BlockSpec((1, 1, h, o, chunk * o),
                          lambda bi, ci, ri: (bi, ri, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, chunk, o, w),
@@ -321,7 +344,7 @@ def _fused_bwd(spatial_scale, out_size, sampling_ratio, aligned, roi_chunk,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), feat_dtype),
         scratch_shapes=[pltpu.VMEM((h, w, cs), jnp.float32)],
         interpret=interpret,
-    )(g, wy, wx)
+    )(g, wye, wx)
     return gf, jnp.zeros_like(rois)
 
 
