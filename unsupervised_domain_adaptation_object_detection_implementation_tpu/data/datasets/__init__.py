@@ -7,7 +7,10 @@ from .extra_datasets import (CityscapesDataset, LVISV05Dataset,
                              LVISV1Dataset, WIDERFaceDataset,
                              DeepFashionDataset)
 
-__all__ = ['CustomDataset', 'XMLDataset', 'VOCDataset', 'DADataset',
+from .coco_panoptic import CocoPanopticDataset, pq_compute
+
+__all__ = ['CocoPanopticDataset', 'pq_compute',
+           'CustomDataset', 'XMLDataset', 'VOCDataset', 'DADataset',
            'CITYSCAPES_DA_CLASSES', 'CocoDataset', 'ConcatDataset',
            'RepeatDataset', 'ClassBalancedDataset', 'MultiImageMixDataset',
            'CityscapesDataset', 'LVISV05Dataset', 'LVISV1Dataset',

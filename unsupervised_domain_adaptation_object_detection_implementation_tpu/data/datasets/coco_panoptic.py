@@ -41,18 +41,20 @@ def pq_compute(pred_maps: Sequence[np.ndarray],
     fp = np.zeros(num_classes)
     fn = np.zeros(num_classes)
     for pm, gm, pc, gc in zip(pred_maps, gt_maps, pred_cats, gt_cats):
-        # pair intersection counts via combined id
-        valid = (gm != VOID)
-        combo = (gm.astype(np.int64) + 2**31) * 2**20 + \
-            (pm.astype(np.int64) + 2**31) % 2**20
-        ids, counts = np.unique(combo[valid], return_counts=True)
+        # pair intersection counts via a collision-free combined id:
+        # shift both maps to non-negative then mix with a stride larger
+        # than any pred id
+        g64 = gm.astype(np.int64)
+        p64 = pm.astype(np.int64)
+        base = int(max(p64.max(), 0)) + 2            # room for VOID(-1)+1
+        combo = (g64 + 1) * base + (p64 + 1)
+        ids, counts = np.unique(combo, return_counts=True)
         gt_area = {s: int((gm == s).sum()) for s in gc}
         pr_area = {s: int((pm == s).sum()) for s in pc}
         matched_gt, matched_pr = set(), set()
-        # decode pair ids
         inter: Dict[tuple, int] = {}
-        g_ids = (ids // 2**20) - 2**31
-        p_ids = (ids % 2**20) - 2**31
+        g_ids = ids // base - 1
+        p_ids = ids % base - 1
         for gi, pi, cnt in zip(g_ids, p_ids, counts):
             inter[(int(gi), int(pi))] = int(cnt)
         for (gi, pi), cnt in inter.items():
