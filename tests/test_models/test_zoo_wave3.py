@@ -99,3 +99,40 @@ def test_scnet():
         assert bool(jnp.isfinite(x)), (k, x)
     preds = m.apply(v, batch, train=False)
     assert 'masks' in preds
+
+
+def test_pisa_retinanet():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors import PISARetinaNet
+    m = PISARetinaNet(num_classes=4, backbone_depth=18)
+    batch = _batch()
+    v = m.init(_rngs(), batch)
+    losses = m.apply(v, batch)
+    for k, x in losses.items():
+        assert bool(jnp.isfinite(x)), (k, x)
+    preds = m.apply(v, batch, train=False)
+    assert preds['dets'].shape[-1] == 5
+
+
+def test_pisa_ssdlite():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors import PISASSDLite
+    m = PISASSDLite(num_classes=4)
+    batch = _batch(size=128)
+    v = m.init(_rngs(), batch)
+    losses = m.apply(v, batch)
+    for k, x in losses.items():
+        assert bool(jnp.isfinite(x)), (k, x)
+
+
+def test_centripetalnet():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors import CentripetalNet
+    m = CentripetalNet(num_classes=4, stage_channels=(32, 32, 48),
+                       stage_blocks=(1, 1, 1), downsample_times=2,
+                       num_stacks=1, corner_topk=16, max_per_img=16)
+    batch = _batch()
+    v = m.init(_rngs(), batch)
+    losses = m.apply(v, batch)
+    assert 'loss_centripetal' in losses
+    for k, x in losses.items():
+        assert bool(jnp.isfinite(x)), (k, x)
+    preds = m.apply(v, batch, train=False)
+    assert preds['dets'].shape[-1] == 5

@@ -40,6 +40,8 @@ from .nasfcos import NASFCOS
 from .queryinst import QueryInst, DynamicMaskHead
 from .scnet import SCNet, GlobalContextHead, FeatRelayHead
 from .trident_faster_rcnn import TridentFasterRCNN
+from .pisa import PISARetinaNet, PISASSDLite
+from .centripetal import CentripetalNet, CentripetalPredictor
 from .panoptic_fpn import (PanopticFPN, PanopticFPNHead, heuristic_fuse,
                            INSTANCE_OFFSET)
 
@@ -59,4 +61,5 @@ __all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAF
            'GuidedAnchorHead', 'LAD', 'NASFCOS', 'QueryInst',
            'DynamicMaskHead', 'SCNet', 'GlobalContextHead', 'FeatRelayHead',
            'TridentFasterRCNN', 'PanopticFPN', 'PanopticFPNHead',
-           'heuristic_fuse', 'INSTANCE_OFFSET']
+           'heuristic_fuse', 'INSTANCE_OFFSET', 'PISARetinaNet',
+           'PISASSDLite', 'CentripetalNet', 'CentripetalPredictor']

@@ -1,0 +1,151 @@
+"""PISA heads (reference `mmdet/models/dense_heads/pisa_retinanet_head.py`
++ `pisa_ssd_head.py` + `models/losses/pisa_loss.py`).
+
+Prime Sample Attention on RetinaNet / SSDLite: positive classification
+losses are reweighted by IoU Hierarchical Local Rank (ISR-P) and the
+regression loss carries classification-aware weights (CARL). The
+assignment and heads are the parents'; only the loss weighting changes —
+expressed as dense per-anchor weight vectors (no gathering of positives).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ...core.bbox.assigners import max_iou_assign
+from ...core.bbox.transforms import bbox2delta, delta2bbox
+from ...core.bbox.iou import bbox_overlaps
+from ...utils.registry import DETECTORS
+from ..dense_heads.anchor_head import anchor_inside_flags
+from ..losses import sigmoid_focal_loss, smooth_l1_loss
+from ..losses.extra_losses import carl_weights, isr_p_weights
+from .retinanet import RetinaNet
+from .ssd import SSDLite
+
+
+def pisa_anchor_loss(cls_logits, reg_preds, anchors, gt_bboxes, gt_labels,
+                     gt_valid, img_shape, num_classes, cfg,
+                     isr_k=2.0, isr_bias=0.0, carl_k=1.0, carl_bias=0.2
+                     ) -> Dict[str, jnp.ndarray]:
+    """Focal/Smooth-L1 anchor loss with ISR-P + CARL weighting
+    (`pisa_loss.py:isr_p`, `carl_loss`)."""
+
+    def per_image(cls_i, reg_i, gt_i, gtl_i, gtv_i, shape_i):
+        inside = anchor_inside_flags(anchors, shape_i, cfg.allowed_border)
+        assign = max_iou_assign(
+            anchors, gt_i, gtv_i, gtl_i,
+            pos_iou_thr=cfg.pos_iou_thr, neg_iou_thr=cfg.neg_iou_thr,
+            min_pos_iou=cfg.min_pos_iou,
+            match_low_quality=cfg.match_low_quality, prior_valid=inside)
+        pos = assign.assigned_gt_inds > 0
+        neg = assign.assigned_gt_inds == 0
+        labels = jnp.where(pos, assign.labels, num_classes)
+        m = jnp.clip(assign.assigned_gt_inds - 1, 0, gt_i.shape[0] - 1)
+        matched_gt = gt_i[m]
+
+        # decoded-box IoU with the matched gt for ranking (reference uses
+        # the current predictions' IoUs for the HLR)
+        boxes = delta2bbox(anchors,
+                           jax.lax.stop_gradient(reg_i).astype(jnp.float32),
+                           cfg.target_means, cfg.target_stds)
+        ious = jax.vmap(lambda b, g: bbox_overlaps(b[None], g[None])[0, 0])(
+            boxes, matched_gt)
+
+        isr = isr_p_weights(jnp.zeros_like(ious), ious,
+                            jnp.clip(assign.labels, 0, num_classes - 1),
+                            pos, num_classes, k=isr_k, bias=isr_bias)
+        cls_w = jnp.where(pos, isr, (neg).astype(jnp.float32))
+        cls_loss = sigmoid_focal_loss(
+            cls_i, labels, weight=cls_w, gamma=cfg.focal_gamma,
+            alpha=cfg.focal_alpha, reduction='sum')
+
+        # CARL: weight regression by the predicted own-class probability
+        p_cls = jax.nn.sigmoid(jax.lax.stop_gradient(
+            cls_i.astype(jnp.float32)))
+        own = jnp.take_along_axis(
+            p_cls, jnp.clip(assign.labels, 0, num_classes - 1)[:, None],
+            axis=1)[:, 0]
+        carl = carl_weights(own, pos, k=carl_k, bias=carl_bias)
+        targets = bbox2delta(anchors, matched_gt, cfg.target_means,
+                             cfg.target_stds)
+        reg_loss = smooth_l1_loss(
+            reg_i, targets, weight=(carl * pos)[:, None],
+            beta=1.0 / 9.0, reduction='sum')
+        return cls_loss, reg_loss, jnp.sum(pos)
+
+    cls_l, reg_l, n_pos = jax.vmap(per_image)(
+        cls_logits, reg_preds, gt_bboxes, gt_labels, gt_valid, img_shape)
+    denom = jnp.maximum(jnp.sum(n_pos), 1.0)
+    return dict(loss_cls=jnp.sum(cls_l) / denom,
+                loss_bbox=jnp.sum(reg_l) / denom)
+
+
+@DETECTORS.register_module()
+class PISARetinaNet(RetinaNet):
+    """`pisa_retinanet_head.py:12` on our RetinaNet."""
+
+    def loss(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        cls, reg, anchors = self._forward_flat(batch['image'])
+        return pisa_anchor_loss(cls, reg, anchors, batch['gt_bboxes'],
+                                batch['gt_labels'], batch['gt_valid'],
+                                batch['img_shape'], self.num_classes,
+                                self.train_cfg)
+
+
+@DETECTORS.register_module()
+class PISASSDLite(SSDLite):
+    """`pisa_ssd_head.py:11` on the SSDLite head: the hard-negative-mined
+    softmax CE gets ISR-P weights on positives; the box loss gets CARL."""
+
+    def loss(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        from ..losses.cross_entropy_loss import softmax_cross_entropy
+        cls, reg, anchors = self._forward_flat(batch['image'])
+        C = self.num_classes
+
+        def per_image(cls_i, reg_i, gt, gtl, gtv):
+            assign = max_iou_assign(anchors, gt, gtv, gtl,
+                                    pos_iou_thr=0.5, neg_iou_thr=0.5,
+                                    min_pos_iou=0.0, match_low_quality=True)
+            pos = assign.assigned_gt_inds > 0
+            neg = assign.assigned_gt_inds == 0
+            labels = jnp.where(pos, assign.labels, C)
+            m = jnp.clip(assign.assigned_gt_inds - 1, 0, gt.shape[0] - 1)
+            matched_gt = gt[m]
+            ce = softmax_cross_entropy(cls_i.astype(jnp.float32), labels)
+            n_pos = jnp.sum(pos)
+            order = jnp.argsort(-jnp.where(neg, ce, -jnp.inf))
+            rank = jnp.zeros_like(order).at[order].set(
+                jnp.arange(order.shape[0]))
+            neg_sel = neg & (rank < self.neg_pos_ratio * n_pos)
+
+            boxes = delta2bbox(
+                anchors, jax.lax.stop_gradient(reg_i).astype(jnp.float32))
+            ious = jax.vmap(lambda b, g: bbox_overlaps(
+                b[None], g[None])[0, 0])(boxes, matched_gt)
+            isr = isr_p_weights(jnp.zeros_like(ious), ious,
+                                jnp.clip(assign.labels, 0, C - 1),
+                                pos, C)
+            w = jnp.where(pos, isr, neg_sel.astype(jnp.float32))
+            cls_l = jnp.sum(ce * w)
+
+            probs = jax.nn.softmax(jax.lax.stop_gradient(
+                cls_i.astype(jnp.float32)), -1)
+            own = jnp.take_along_axis(
+                probs, jnp.clip(assign.labels, 0, C - 1)[:, None],
+                axis=1)[:, 0]
+            carl = carl_weights(own, pos)
+            targets = bbox2delta(anchors, matched_gt)
+            reg_l = smooth_l1_loss(reg_i, targets,
+                                   weight=(carl * pos)[:, None],
+                                   beta=1.0, reduction='sum')
+            return cls_l, reg_l, n_pos
+
+        cls_l, reg_l, n_pos = jax.vmap(per_image)(
+            cls, reg, batch['gt_bboxes'], batch['gt_labels'],
+            batch['gt_valid'])
+        denom = jnp.maximum(jnp.sum(n_pos), 1.0)
+        return dict(loss_cls=jnp.sum(cls_l) / denom,
+                    loss_bbox=jnp.sum(reg_l) / denom)
