@@ -136,3 +136,18 @@ def test_centripetalnet():
         assert bool(jnp.isfinite(x)), (k, x)
     preds = m.apply(v, batch, train=False)
     assert preds['dets'].shape[-1] == 5
+
+
+def test_detectors_htc_rfp_sac():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.necks import DetectoRSHTC
+    m = DetectoRSHTC(num_classes=4, backbone_depth=50, num_samples=32,
+                     with_semantic=False)
+    batch = _batch(masks=True)
+    v = m.init(_rngs(), batch)
+    # RFP shares one backbone across both steps: params hold ONE rfp trunk
+    assert 'rfp' in v['params'] and 'backbone' in v['params']['rfp']
+    losses = m.apply(v, batch, rngs={'sampler': jax.random.PRNGKey(2)})
+    for k, x in losses.items():
+        assert bool(jnp.isfinite(x)), (k, x)
+    preds = m.apply(v, batch, train=False)
+    assert preds['dets'].shape[-1] == 5

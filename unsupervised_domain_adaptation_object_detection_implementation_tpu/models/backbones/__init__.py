@@ -9,8 +9,9 @@ from .pvt import PVT
 from .hourglass import HourglassNet
 
 from .trident_resnet import TridentResNet, TridentBlock
+from .detectors_resnet import DetectoRSResNet, SACBottleneck
 
-__all__ = ['TridentResNet', 'TridentBlock', 'ResNet', 'Bottleneck', 'BasicBlock', 'DAResNet', 'Tap',
+__all__ = ['TridentResNet', 'TridentBlock', 'DetectoRSResNet', 'SACBottleneck', 'ResNet', 'Bottleneck', 'BasicBlock', 'DAResNet', 'Tap',
            'VARIANT_TAPS', 'SwinTransformer', 'MobileNetV2', 'Darknet53',
            'CSPDarknet', 'Res2Net', 'RegNet', 'ResNeSt', 'SSDVGG',
            'regnet_widths', 'HRNet', 'PVT', 'HourglassNet']
