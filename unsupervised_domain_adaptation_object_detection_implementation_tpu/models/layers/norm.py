@@ -11,6 +11,7 @@ fused multiply-add that XLA folds into the preceding convolution.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -51,3 +52,33 @@ class BatchNorm(nn.Module):
             epsilon=self.epsilon,
             axis_name=None,
         )(x)
+
+
+class DropBlock(nn.Module):
+    """DropBlock2D plugin (reference `mmcv.cnn.bricks.DropBlock` used via
+    backbone `plugins=[dict(cfg=dict(type='DropBlock', ...))]`): drops
+    contiguous `block_size` spatial squares with a rate calibrated so the
+    expected dropped fraction equals `drop_prob`. Identity when
+    `deterministic` (eval) — matching train-only semantics."""
+
+    drop_prob: float = 0.1
+    block_size: int = 7
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = False):
+        if deterministic or self.drop_prob == 0.0:
+            return x
+        b, h, w, c = x.shape
+        bs = min(self.block_size, h, w)
+        gamma = (self.drop_prob / (bs ** 2)
+                 * (h * w) / max((h - bs + 1) * (w - bs + 1), 1))
+        rng = self.make_rng('dropout')
+        seeds = jax.random.bernoulli(
+            rng, gamma, (b, h - bs + 1, w - bs + 1, c)).astype(x.dtype)
+        pad = [(0, 0), (bs - 1, bs - 1), (bs - 1, bs - 1), (0, 0)]
+        seeds = jnp.pad(seeds, pad)
+        mask = 1.0 - (jax.lax.reduce_window(
+            seeds, 0.0, jax.lax.add, (1, bs, bs, 1), (1, 1, 1, 1),
+            'VALID') > 0).astype(x.dtype)
+        keep = jnp.maximum(jnp.mean(mask), 1e-6)
+        return x * mask / keep

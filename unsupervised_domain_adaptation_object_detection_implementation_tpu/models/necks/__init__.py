@@ -3,8 +3,8 @@ from .pafpn import PAFPN
 from .yolox_pafpn import YOLOXPAFPN
 from .rfp import RFP, DetectoRSHTC
 from .zoo_necks import (ChannelMapper, BFP, HRFPN, DilatedEncoder, SSDNeck,
-                        CTResNetNeck, NASFCOS_FPN, FPN_CARAFE, NASFPN)
+                        CTResNetNeck, NASFCOS_FPN, FPN_CARAFE, NASFPN, FPG)
 
 __all__ = ['RFP', 'DetectoRSHTC', 'FPN', 'PAFPN', 'YOLOXPAFPN', 'ChannelMapper', 'BFP', 'HRFPN',
            'DilatedEncoder', 'SSDNeck', 'CTResNetNeck', 'NASFCOS_FPN',
-           'FPN_CARAFE', 'NASFPN']
+           'FPN_CARAFE', 'NASFPN', 'FPG']

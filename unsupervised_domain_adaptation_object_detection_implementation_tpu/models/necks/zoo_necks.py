@@ -336,3 +336,57 @@ class NASFPN(nn.Module):
             p7 = rcb(sum_cell(p7_tmp, p7, hw(p7)), f's{s}_sum77_7')
             p6 = rcb(global_pooling_cell(p7, p5, hw(p6)), f's{s}_gp75_6')
         return (p3, p4, p5, p6, p7)
+
+
+@NECKS.register_module()
+class FPG(nn.Module):
+    """Feature Pyramid Grids (reference `mmdet/models/necks/fpg.py`) —
+    a grid of `stack_times` pyramid stages; each cell fuses same-level,
+    top-down (2x up) and bottom-up (stride-2) neighbors with convs. The
+    reference's per-edge toggle dicts collapse to the standard published
+    grid (across_lateral + across_down + across_up + same_up_trans)."""
+
+    in_channels: Sequence[int] = (256, 512, 1024, 2048)
+    out_channels: int = 256
+    num_outs: int = 5
+    stack_times: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs):
+        c = self.out_channels
+        # entry laterals (+ extra coarse level by stride-2 conv)
+        levels = [nn.Conv(c, (1, 1), dtype=self.dtype,
+                          name=f'lateral{i}')(x)
+                  for i, x in enumerate(inputs)]
+        while len(levels) < self.num_outs:
+            levels.append(nn.Conv(c, (3, 3), strides=(2, 2),
+                                  padding=[(1, 1)] * 2, dtype=self.dtype,
+                                  name=f'extra{len(levels)}')(levels[-1]))
+
+        for s in range(self.stack_times):
+            new = []
+            for i in range(self.num_outs):
+                acc = nn.Conv(c, (3, 3), padding=[(1, 1)] * 2,
+                              dtype=self.dtype,
+                              name=f's{s}_same{i}')(levels[i])
+                if i + 1 < self.num_outs:          # top-down from coarser
+                    hi = levels[i + 1]
+                    hi = jax.image.resize(
+                        hi, (hi.shape[0], levels[i].shape[1],
+                             levels[i].shape[2], c), method='nearest')
+                    acc = acc + nn.Conv(c, (3, 3), padding=[(1, 1)] * 2,
+                                        dtype=self.dtype,
+                                        name=f's{s}_down{i}')(hi)
+                if i > 0:                          # bottom-up from finer
+                    lo = nn.Conv(c, (3, 3), strides=(2, 2),
+                                 padding=[(1, 1)] * 2, dtype=self.dtype,
+                                 name=f's{s}_up{i}')(levels[i - 1])
+                    if lo.shape[1:3] != acc.shape[1:3]:
+                        lo = jax.image.resize(
+                            lo, (lo.shape[0], acc.shape[1], acc.shape[2],
+                                 c), method='nearest')
+                    acc = acc + lo
+                new.append(nn.relu(acc))
+            levels = new
+        return tuple(levels)

@@ -242,3 +242,19 @@ def roi_head_predict(bbox_head_apply,
 
     dets, labels, valid = jax.vmap(per_image)(boxes, scores)
     return dict(dets=dets, labels=labels, valid=valid)
+
+
+def extract_roi_feats_groie(feats, rois: jnp.ndarray,
+                            strides=(4, 8, 16, 32), out_size: int = 7,
+                            sampling_ratio: int = 2) -> jnp.ndarray:
+    """Generic RoI Extractor (reference
+    `mmdet/models/roi_heads/roi_extractors/generic_roi_extractor.py`,
+    GRoIE): instead of assigning each RoI to ONE pyramid level, aggregate
+    the aligned features from ALL levels by summation (the reference's
+    `aggregation='sum'` with identity pre/post modules — its default)."""
+    out = None
+    for i, s in enumerate(strides):
+        aligned = batched_roi_align(feats[i], rois, 1.0 / s, out_size,
+                                    sampling_ratio)
+        out = aligned if out is None else out + aligned
+    return out
