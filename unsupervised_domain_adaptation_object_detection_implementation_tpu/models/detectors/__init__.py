@@ -40,7 +40,7 @@ from .nasfcos import NASFCOS
 from .queryinst import QueryInst, DynamicMaskHead
 from .scnet import SCNet, GlobalContextHead, FeatRelayHead
 from .trident_faster_rcnn import TridentFasterRCNN
-from .pisa import PISARetinaNet, PISASSDLite
+from .pisa import PISARetinaNet, PISASSDLite, PISAFasterRCNN
 from .centripetal import CentripetalNet, CentripetalPredictor
 from .panoptic_fpn import (PanopticFPN, PanopticFPNHead, heuristic_fuse,
                            INSTANCE_OFFSET)
@@ -61,5 +61,5 @@ __all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAF
            'GuidedAnchorHead', 'LAD', 'NASFCOS', 'QueryInst',
            'DynamicMaskHead', 'SCNet', 'GlobalContextHead', 'FeatRelayHead',
            'TridentFasterRCNN', 'PanopticFPN', 'PanopticFPNHead',
-           'heuristic_fuse', 'INSTANCE_OFFSET', 'PISARetinaNet',
+           'heuristic_fuse', 'INSTANCE_OFFSET', 'PISARetinaNet', 'PISAFasterRCNN',
            'PISASSDLite', 'CentripetalNet', 'CentripetalPredictor']

@@ -24,6 +24,7 @@ from ..losses import sigmoid_focal_loss, smooth_l1_loss
 from ..losses.extra_losses import carl_weights, isr_p_weights
 from .retinanet import RetinaNet
 from .ssd import SSDLite
+from .faster_rcnn_fpn import FasterRCNNFPN
 
 
 def pisa_anchor_loss(cls_logits, reg_preds, anchors, gt_bboxes, gt_labels,
@@ -149,3 +150,69 @@ class PISASSDLite(SSDLite):
         denom = jnp.maximum(jnp.sum(n_pos), 1.0)
         return dict(loss_cls=jnp.sum(cls_l) / denom,
                     loss_bbox=jnp.sum(reg_l) / denom)
+
+
+@DETECTORS.register_module()
+class PISAFasterRCNN(FasterRCNNFPN):
+    """Two-stage PISA (reference `mmdet/models/roi_heads/pisa_roi_head.py`):
+    standard FPN Faster R-CNN whose RoI classification loss carries ISR-P
+    weights and whose regression carries CARL."""
+
+    def loss(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        from ..dense_heads.rpn_head import rpn_loss, rpn_proposals
+        from ..roi_heads.standard_roi_head import (extract_roi_feats_fpn,
+                                                   sample_rois)
+        from ..losses.cross_entropy_loss import softmax_cross_entropy
+        feats, cls, reg, anchors = self._flat_rpn(batch['image'])
+        b, n = cls.shape
+        losses = rpn_loss(cls.reshape(b, n, 1, 1), reg.reshape(b, n, 1, 4),
+                          anchors, batch['gt_bboxes'], batch['gt_valid'],
+                          batch['img_shape'], self.make_rng('sampler'),
+                          self.rpn_train_cfg)
+        proposals, _, prop_valid = rpn_proposals(
+            jax.lax.stop_gradient(cls).reshape(b, n, 1, 1),
+            jax.lax.stop_gradient(reg).reshape(b, n, 1, 4),
+            anchors, batch['img_shape'], self.rpn_proposal_cfg)
+        sampled = sample_rois(proposals, prop_valid, batch['gt_bboxes'],
+                              batch['gt_labels'], batch['gt_valid'],
+                              self.make_rng('sampler'), self.num_classes,
+                              self.roi_train_cfg)
+        roi_feats = extract_roi_feats_fpn(feats, sampled.rois)
+        cls_s, reg_s, _ = self.bbox_head(roi_feats)
+        C = self.num_classes
+
+        def per_image(cls_i, reg_i, sampled_i, gt):
+            rois, labels, lvalid, is_pos, reg_t, m = sampled_i
+            ce = softmax_cross_entropy(cls_i.astype(jnp.float32), labels)
+            boxes = delta2bbox(
+                rois, jax.lax.stop_gradient(reg_i).astype(jnp.float32),
+                stds=self.roi_train_cfg.target_stds)
+            matched_gt = gt[m]
+            ious = jax.vmap(lambda bx, g: bbox_overlaps(
+                bx[None], g[None])[0, 0])(boxes, matched_gt)
+            isr = isr_p_weights(jnp.zeros_like(ious), ious,
+                                jnp.clip(labels, 0, C - 1), is_pos, C)
+            w = jnp.where(is_pos, isr, lvalid.astype(jnp.float32))
+            cls_l = jnp.sum(ce * w)
+            probs = jax.nn.softmax(jax.lax.stop_gradient(
+                cls_i.astype(jnp.float32)), -1)
+            own = jnp.take_along_axis(
+                probs, jnp.clip(labels, 0, C - 1)[:, None], axis=1)[:, 0]
+            carl = carl_weights(own, is_pos)
+            reg_l = smooth_l1_loss(reg_i, reg_t,
+                                   weight=(carl * is_pos)[:, None],
+                                   beta=1.0, reduction='sum')
+            return cls_l, reg_l, jnp.sum(lvalid)
+
+        reg_sel = reg_s
+        if reg_s.shape[-1] != 4:
+            lbl = jnp.clip(sampled.labels, 0, C - 1)
+            reg_sel = jnp.take_along_axis(
+                reg_s.reshape(*sampled.labels.shape, C, 4),
+                lbl[..., None, None].repeat(4, -1), axis=2)[..., 0, :]
+        cls_l, reg_l, cnt = jax.vmap(per_image)(
+            cls_s, reg_sel, sampled, batch['gt_bboxes'])
+        denom = jnp.maximum(jnp.sum(cnt), 1.0)
+        losses.update(loss_cls=jnp.sum(cls_l) / denom,
+                      loss_bbox=jnp.sum(reg_l) / denom)
+        return losses
