@@ -46,7 +46,12 @@ def _jitted_predict(model):
 
 
 def _host_nms(dets: np.ndarray, thr: float) -> np.ndarray:
-    """Greedy NMS on (n, 5) host arrays (TTA merging)."""
+    """Greedy NMS on (n, 5) host arrays (TTA merging). C++ fast path
+    (`native/imageproc.cpp:host_nms`) with the numpy mirror as fallback."""
+    from ..utils.native import host_nms_native
+    keep_mask = host_nms_native(dets, thr)
+    if keep_mask is not None:
+        return dets[keep_mask]
     order = np.argsort(-dets[:, 4])
     keep = []
     sup = np.zeros(len(dets), bool)

@@ -39,7 +39,13 @@ def _imread(path: str) -> np.ndarray:
 
 
 def _imresize(img: np.ndarray, size_wh: Tuple[int, int]) -> np.ndarray:
-    """Bilinear resize to (w, h)."""
+    """Bilinear resize to (w, h) — native C++ (OpenMP, PIL-convention
+    antialiased, `native/imageproc.cpp`) with cv2/PIL fallback."""
+    if img.dtype == np.uint8 and img.ndim == 3:
+        from ...utils.native import resize_bilinear_native
+        out = resize_bilinear_native(img, size_wh)
+        if out is not None:
+            return out
     if _HAS_CV2:
         return cv2.resize(img, size_wh, interpolation=cv2.INTER_LINEAR)
     from PIL import Image

@@ -152,7 +152,7 @@ def _fwd_kernel(feat_ref, wye_ref, wx_ref, out_ref, t_ref, *, chunk,
     cannot lower those) and no dynamic lane slicing."""
     _, h, w, cs = feat_ref.shape
     o = out_size
-    wx2d = wx_ref[0, 0].reshape(chunk * o, w)
+    wx2d = wx_ref[0, 0]                                  # (chunk*o, W)
 
     def xpass(hi, _):
         t_ref[hi] = jnp.dot(wx2d, feat_ref[0, hi],
@@ -186,8 +186,7 @@ def _bwd_kernel(g_ref, wye_ref, wx_ref, gf_ref, acc_ref, *, chunk,
     _, h, w, cs = gf_ref.shape
     o = out_size
     ri = pl.program_id(2)
-    wx2d = wx_ref[0, 0].reshape(chunk * o, w)            # (chunk*o, W)
-    wxT = wx2d.T.astype(jnp.float32)                     # (W, chunk*o)
+    wxT = wx_ref[0, 0].astype(jnp.float32)               # (W, chunk*o)
 
     @pl.when(ri == 0)
     def _init():
@@ -269,6 +268,9 @@ def _fused_fwd(feats, rois, spatial_scale, out_size, sampling_ratio,
     # expand wy (B,nc,chunk,o,H) → row-scale layout (B,nc,H,o,chunk*o):
     # wye[..., h, oy, r*o + ox] = wy[..., r, oy, h] for every ox
     wye = jnp.repeat(wy.transpose(0, 1, 4, 3, 2), o, axis=-1)
+    # collapse (chunk, o) OUTSIDE the kernel — Mosaic cannot reshape
+    # across the sublane boundary in-kernel
+    wx = wx.reshape(b, n_chunks, chunk * o, w)
 
     out = pl.pallas_call(
         partial(_fwd_kernel, chunk=chunk, out_size=o),
@@ -279,8 +281,8 @@ def _fused_fwd(feats, rois, spatial_scale, out_size, sampling_ratio,
             pl.BlockSpec((1, 1, h, o, chunk * o),
                          lambda bi, ci, ri: (bi, ri, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk, o, w),
-                         lambda bi, ci, ri: (bi, ri, 0, 0, 0),
+            pl.BlockSpec((1, 1, chunk * o, w),
+                         lambda bi, ci, ri: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -323,6 +325,7 @@ def _fused_bwd(spatial_scale, out_size, sampling_ratio, aligned, roi_chunk,
     g = g.reshape(b, n_chunks, chunk, o, o, c).transpose(0, 1, 3, 2, 4, 5)
     g = g.reshape(b, n_chunks, o, chunk * o, c).astype(feat_dtype)
     wye = jnp.repeat(wy.transpose(0, 1, 4, 3, 2), o, axis=-1)
+    wxT = wx.reshape(b, n_chunks, chunk * o, w).transpose(0, 1, 3, 2)
 
     gf = pl.pallas_call(
         partial(_bwd_kernel, chunk=chunk, out_size=o, n_chunks=n_chunks),
@@ -334,8 +337,8 @@ def _fused_bwd(spatial_scale, out_size, sampling_ratio, aligned, roi_chunk,
             pl.BlockSpec((1, 1, h, o, chunk * o),
                          lambda bi, ci, ri: (bi, ri, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk, o, w),
-                         lambda bi, ci, ri: (bi, ri, 0, 0, 0),
+            pl.BlockSpec((1, 1, w, chunk * o),
+                         lambda bi, ci, ri: (bi, ri, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w, cs),
@@ -344,7 +347,7 @@ def _fused_bwd(spatial_scale, out_size, sampling_ratio, aligned, roi_chunk,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), feat_dtype),
         scratch_shapes=[pltpu.VMEM((h, w, cs), jnp.float32)],
         interpret=interpret,
-    )(g, wye, wx)
+    )(g, wye, wxT)
     return gf, jnp.zeros_like(rois)
 
 
