@@ -134,46 +134,43 @@ def roi_align_pallas(feats: jnp.ndarray,
 # ---------------------------------------------------------------------------
 # v2: batched-RoI kernel (VERDICT r1 item 3). The v1 kernel above loops
 # per-RoI with M=7 dots; here the x-interp is ONE (chunk·o, W) @ (W, Cs) dot
-# per feature row (M=448 at chunk 64 — MXU-shaped) and the y-interp is a
-# VPU multiply-accumulate over the 32 feature rows, all inside VMEM. The
-# (R, H, o, C) intermediate never touches HBM. Backward is a mirrored
-# kernel (grad wrt feat only — RoIs are stop-gradient proposals on every
-# caller path, matching mmcv RoIAlign's non-differentiable-in-rois CUDA op).
+# per feature row (M=224+ — MXU-shaped) fused with a per-oy VPU row-scaled
+# accumulation, all inside VMEM: the (R, H, o, C) intermediate never
+# touches HBM. Backward is a mirrored kernel (grad wrt feat only — RoIs
+# are stop-gradient proposals on every caller path, matching mmcv
+# RoIAlign's non-differentiable-in-rois CUDA usage).
+#
+# Measured (v5e, bench shapes 8x512 rois, 32x64x2048 bf16):
+#   fwd 35.8 ms / bwd 14.7 ms at (chunk=32, cs=512)  vs  XLA separable
+#   fwd 19.1 ms / bwd 12.9 ms. The per-instance serial h-loop leaves the
+#   MXU latency-bound (16k small dots); larger tiles exceed VMEM (Mosaic
+#   compile fails above chunk*cs ~ 16k). The XLA path therefore remains
+#   the DEFAULT; this kernel is kept as the structured starting point for
+#   a pipelined revision and is interpret-mode parity-tested
+#   (tests/test_models/test_roi_align_fused.py).
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(feat_ref, wye_ref, wx_ref, out_ref, t_ref, *, chunk,
-                out_size):
+def _fwd_kernel(feat_ref, wye_ref, wx_ref, out_ref, *, chunk, out_size):
     """Blocks: feat (1, H, W, Cs) · wye (1, 1, H, o, chunk*o) ·
-    wx (1, 1, chunk, o, W) → out (1, 1, o, chunk*o, Cs).
-    t scratch: (H, chunk*o, Cs) bf16. wye pre-expands wy[r, oy, h] to a
-    per-ROW scale over the (chunk*o) x-pass rows, so the y-pass is plain
-    (M, 1)x(M, Cs) row scaling — no trailing-singleton reshapes (Mosaic
-    cannot lower those) and no dynamic lane slicing."""
+    wx (1, 1, chunk*o, W) → out (1, 1, o, chunk*o, Cs).
+    One loop over feature rows: x-interp dot, then per-oy row-scaled
+    accumulation — no cross-row scratch, all operands 2-D (sublane, lane)
+    so Mosaic never faces reshapes/dynamic lane slicing."""
     _, h, w, cs = feat_ref.shape
     o = out_size
     wx2d = wx_ref[0, 0]                                  # (chunk*o, W)
 
-    def xpass(hi, _):
-        t_ref[hi] = jnp.dot(wx2d, feat_ref[0, hi],
-                            preferred_element_type=jnp.float32
-                            ).astype(t_ref.dtype)
-        return ()
-
-    jax.lax.fori_loop(0, h, xpass, ())
-
-    # y-pass: per-oy 2D row scaling (chunk*o, 1) x (chunk*o, Cs) — keeps
-    # every op on aligned (sublane, lane) layouts; 3-D broadcasts with a
-    # size-1 lane dim mis-lower on unaligned shapes
-    def ypass(hi, accs):
-        t_h = t_ref[hi].astype(jnp.float32)              # (chunk*o, Cs)
+    def body(hi, accs):
+        t_h = jnp.dot(wx2d, feat_ref[0, hi],
+                      preferred_element_type=jnp.float32)  # (chunk*o, Cs)
         return tuple(
             accs[oy] + wye_ref[0, 0, hi, oy].astype(
                 jnp.float32)[:, None] * t_h
             for oy in range(o))
 
     zero = jnp.zeros((chunk * o, cs), jnp.float32)
-    accs = jax.lax.fori_loop(0, h, ypass, (zero,) * o)
+    accs = jax.lax.fori_loop(0, h, body, (zero,) * o)
     for oy in range(o):
         out_ref[0, 0, oy] = accs[oy].astype(out_ref.dtype)
 
@@ -291,7 +288,6 @@ def _fused_fwd(feats, rois, spatial_scale, out_size, sampling_ratio,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_chunks, o, chunk * o, c),
                                        feats.dtype),
-        scratch_shapes=[pltpu.VMEM((h, chunk * o, cs), feats.dtype)],
         interpret=interpret,
     )(feats, wye, wx)
     # (B, nc, oy, chunk*ox, C) → (B, R, oy, ox, C)
