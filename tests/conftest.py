@@ -20,3 +20,14 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_num_cpu_devices', 8)
+
+# Persistent compilation cache: the suite's wall time is dominated by
+# re-compiling the same tiny-model XLA programs every run; with the cache
+# warm, repeat runs skip compilation entirely.
+_cache_dir = os.environ.get(
+    'UDAOD_JAX_CACHE',
+    os.path.join(os.path.expanduser('~/.cache'), 'udaod_tpu', 'jax_cache'))
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', _cache_dir)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)

@@ -130,7 +130,18 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
         metrics_out: Dict[str, float] = {}
         log_f = open(log_path, 'a')
         step_rng = jax.random.PRNGKey(seed + 1)
+        # YOLOX mode switch: `custom_hooks=[dict(type='YOLOXModeSwitchHook',
+        # num_last_epochs=15)]` (reference `yolox_mode_switch_hook.py`)
+        switch_at = None
+        for hook in (cfg.get('custom_hooks', []) or []):
+            if 'ModeSwitch' in str(hook.get('type', '')):
+                switch_at = epochs - hook.get('num_last_epochs', 15)
         for epoch in range(start_epoch, epochs):
+            if switch_at is not None and epoch >= switch_at and \
+                    hasattr(loader.dataset, 'disable_mix'):
+                loader.dataset.disable_mix()
+                switch_at = None
+                print('[train] YOLOX mode switch: mix augs disabled')
             t_epoch = time.time()
             for it, batch in enumerate(loader):
                 sb = shard_batch(batch, mesh)

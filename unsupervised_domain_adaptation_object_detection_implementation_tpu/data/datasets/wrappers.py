@@ -121,6 +121,18 @@ class MultiImageMixDataset:
     def get_ann_info(self, idx):
         return self.dataset.get_ann_info(idx)
 
+    def disable_mix(self):
+        """YOLOX mode switch (reference `core/hook/yolox_mode_switch_hook.py`):
+        drop Mosaic/MixUp/RandomAffine for the final no-aug epochs; the
+        terminal formatting stages keep running."""
+        skip = {'Mosaic', 'MixUp', 'RandomAffine'}
+        from ..pipelines.transforms import Compose
+        kept = [t for t in self.pipeline.transforms
+                if type(t).__name__ not in skip]
+        self.pipeline = Compose.__new__(Compose)
+        self.pipeline.transforms = kept
+        self.num_mix = 0
+
     def __getitem__(self, idx):
         results = self.dataset[idx]
         mixes = [self.dataset[int(self._rng.randint(len(self.dataset)))]

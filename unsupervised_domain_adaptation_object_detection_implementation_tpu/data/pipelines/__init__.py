@@ -9,8 +9,9 @@ from .auto_augment import (AutoAugment, Shear, Rotate, Translate,
                            autoaug_policy_v0)
 
 from .third_party import Albu, InstaBoost
+from .transforms import LoadProposals, RandomAffine
 
-__all__ = ['Albu', 'InstaBoost',
+__all__ = ['Albu', 'InstaBoost', 'LoadProposals', 'RandomAffine',
            'LoadImageFromFile', 'LoadAnnotations', 'Resize', 'RandomFlip',
            'Normalize', 'Pad', 'PhotoMetricDistortion', 'PackDetInputs',
            'Compose', 'MultiScaleFlipAug', 'RandomCrop', 'Expand',

@@ -601,3 +601,111 @@ class MixUp:
             other.get('gt_labels', np.zeros((0,), np.int64))])
         results.pop('mix_results')
         return results
+
+
+@PIPELINES.register_module()
+class LoadProposals:
+    """Load precomputed proposals into the results dict (reference
+    `pipelines/loading.py:500`): expects `results['proposals']` provided by
+    the dataset (e.g. from a standalone RPN run saved with `--out`), pads
+    or truncates to `num_max_proposals`."""
+
+    def __init__(self, num_max_proposals: int = 1000):
+        self.num_max = num_max_proposals
+
+    def __call__(self, results):
+        props = np.asarray(results.get('proposals',
+                                       np.zeros((0, 4), np.float32)),
+                           np.float32)
+        if props.shape[-1] == 5:
+            props = props[:, :4]
+        n = min(len(props), self.num_max)
+        out = np.zeros((self.num_max, 4), np.float32)
+        out[:n] = props[:n]
+        results['proposals'] = out
+        results['proposals_valid'] = np.arange(self.num_max) < n
+        return results
+
+
+@PIPELINES.register_module()
+class RandomAffine:
+    """Random affine (reference `pipelines/transforms.py:2444`, the YOLOX
+    geometric aug): rotation/scale/shear/translate as one 3x3 warp applied
+    to image (inverse-mapped bilinear) and boxes (corner transform +
+    clip + degenerate filter)."""
+
+    def __init__(self, max_rotate_degree: float = 10.0,
+                 max_translate_ratio: float = 0.1,
+                 scaling_ratio_range=(0.5, 1.5),
+                 max_shear_degree: float = 2.0,
+                 border_val: float = 114.0,
+                 min_bbox_size: float = 2.0):
+        self.max_rot = max_rotate_degree
+        self.max_tr = max_translate_ratio
+        self.scale_range = scaling_ratio_range
+        self.max_shear = max_shear_degree
+        self.border_val = border_val
+        self.min_bbox = min_bbox_size
+
+    def _matrix(self, rng, h, w):
+        ang = np.deg2rad(rng.uniform(-self.max_rot, self.max_rot))
+        sc = rng.uniform(*self.scale_range)
+        shx = np.deg2rad(rng.uniform(-self.max_shear, self.max_shear))
+        shy = np.deg2rad(rng.uniform(-self.max_shear, self.max_shear))
+        tx = rng.uniform(-self.max_tr, self.max_tr) * w
+        ty = rng.uniform(-self.max_tr, self.max_tr) * h
+        rot = np.array([[np.cos(ang) * sc, -np.sin(ang) * sc, 0],
+                        [np.sin(ang) * sc, np.cos(ang) * sc, 0],
+                        [0, 0, 1]])
+        shear = np.array([[1, np.tan(shx), 0], [np.tan(shy), 1, 0],
+                          [0, 0, 1]])
+        trans = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]])
+        # rotate/scale/shear around the image center
+        c = np.array([[1, 0, w / 2], [0, 1, h / 2], [0, 0, 1]])
+        ci = np.array([[1, 0, -w / 2], [0, 1, -h / 2], [0, 0, 1]])
+        return trans @ c @ shear @ rot @ ci
+
+    def __call__(self, results):
+        rng: np.random.RandomState = results.get('_rng', np.random)
+        img = results['img']
+        h, w = img.shape[:2]
+        m = self._matrix(rng, h, w)
+        minv = np.linalg.inv(m)
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        src_x = minv[0, 0] * xs + minv[0, 1] * ys + minv[0, 2]
+        src_y = minv[1, 0] * xs + minv[1, 1] * ys + minv[1, 2]
+        x0 = np.floor(src_x).astype(int)
+        y0 = np.floor(src_y).astype(int)
+        fx = src_x - x0
+        fy = src_y - y0
+        valid = (src_x >= 0) & (src_x < w - 1) & (src_y >= 0) & \
+            (src_y < h - 1)
+        x0c = np.clip(x0, 0, w - 2)
+        y0c = np.clip(y0, 0, h - 2)
+        imgf = img.astype(np.float32)
+        out = (imgf[y0c, x0c] * ((1 - fx) * (1 - fy))[..., None]
+               + imgf[y0c, x0c + 1] * (fx * (1 - fy))[..., None]
+               + imgf[y0c + 1, x0c] * ((1 - fx) * fy)[..., None]
+               + imgf[y0c + 1, x0c + 1] * (fx * fy)[..., None])
+        out = np.where(valid[..., None], out, self.border_val)
+        results['img'] = out.astype(img.dtype)
+
+        boxes = results.get('gt_bboxes')
+        if boxes is not None and len(boxes):
+            corners = np.stack([
+                boxes[:, [0, 1]], boxes[:, [2, 1]],
+                boxes[:, [0, 3]], boxes[:, [2, 3]]], axis=1)  # (G, 4, 2)
+            ones = np.ones((*corners.shape[:2], 1))
+            warped = np.concatenate([corners, ones], -1) @ m.T
+            xy = warped[..., :2]
+            new = np.concatenate([xy.min(1), xy.max(1)], -1)
+            new[:, [0, 2]] = new[:, [0, 2]].clip(0, w)
+            new[:, [1, 3]] = new[:, [1, 3]].clip(0, h)
+            ok = ((new[:, 2] - new[:, 0]) > self.min_bbox) & \
+                ((new[:, 3] - new[:, 1]) > self.min_bbox)
+            results['gt_bboxes'] = new[ok].astype(np.float32)
+            if 'gt_labels' in results:
+                results['gt_labels'] = results['gt_labels'][ok]
+            if 'gt_masks' in results:
+                results['gt_masks'] = results['gt_masks'][ok]
+        return results
