@@ -1,7 +1,7 @@
 from .faster_rcnn import FasterRCNN, AnchorConfig
 from .da_faster_rcnn import DAFasterRCNN, DALossWeights
 from .cyda_faster_rcnn import CyDAFasterRCNN, DISC_KEYS
-from .retinanet import RetinaNet, RetinaHead
+from .retinanet import RetinaNet, RetinaHead, RetinaSepBNHead
 from .faster_rcnn_fpn import FasterRCNNFPN, FPNRPNHead
 from .fcos import FCOS, FCOSHead
 from .mask_rcnn import MaskRCNN, paste_masks
@@ -45,7 +45,7 @@ from .centripetal import CentripetalNet, CentripetalPredictor
 from .panoptic_fpn import (PanopticFPN, PanopticFPNHead, heuristic_fuse,
                            INSTANCE_OFFSET)
 
-__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead', 'YOLOX', 'YOLOXHead',
+__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'RetinaSepBNHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead', 'YOLOX', 'YOLOXHead',
            'VFNet', 'VFNetHead', 'RepPoints', 'RepPointsHead',
            'points2bbox_moment', 'YOLOF', 'YOLOFHead', 'FSAF', 'FSAFHead',
            'FoveaBox', 'FoveaHead', 'FreeAnchor', 'AutoAssign', 'PAA',

@@ -64,6 +64,50 @@ class RetinaHead(nn.Module):
         return tuple(cls_scores), tuple(bbox_preds)
 
 
+class RetinaSepBNHead(nn.Module):
+    """Retina head with SHARED convs but SEPARATE per-level norms
+    (reference `dense_heads/retina_sepbn_head.py` — NAS-FPN's head). The
+    norm is our FrozenBatchNorm (norm_eval semantics), one instance per
+    (level, conv)."""
+
+    num_classes: int = 80
+    num_anchors: int = 9
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        from ..layers.norm import FrozenBatchNorm
+        cls_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=[(1, 1)] * 2, use_bias=False,
+                             dtype=self.dtype, name=f'cls_conv{i}')
+                     for i in range(self.stacked_convs)]
+        reg_convs = [nn.Conv(self.feat_channels, (3, 3),
+                             padding=[(1, 1)] * 2, use_bias=False,
+                             dtype=self.dtype, name=f'reg_conv{i}')
+                     for i in range(self.stacked_convs)]
+        cls_out = nn.Conv(self.num_anchors * self.num_classes, (3, 3),
+                          padding=[(1, 1)] * 2, dtype=self.dtype,
+                          bias_init=nn.initializers.constant(-4.595),
+                          name='retina_cls')
+        reg_out = nn.Conv(self.num_anchors * 4, (3, 3),
+                          padding=[(1, 1)] * 2, dtype=self.dtype,
+                          name='retina_reg')
+        cls_scores, bbox_preds = [], []
+        for lvl, f in enumerate(feats):
+            c, r = f, f
+            for i, conv in enumerate(cls_convs):
+                c = nn.relu(FrozenBatchNorm(
+                    self.feat_channels, name=f'cls_bn{lvl}_{i}')(conv(c)))
+            for i, conv in enumerate(reg_convs):
+                r = nn.relu(FrozenBatchNorm(
+                    self.feat_channels, name=f'reg_bn{lvl}_{i}')(conv(r)))
+            cls_scores.append(cls_out(c))
+            bbox_preds.append(reg_out(r))
+        return tuple(cls_scores), tuple(bbox_preds)
+
+
 @DETECTORS.register_module()
 class RetinaNet(nn.Module):
     num_classes: int = 80
@@ -72,6 +116,7 @@ class RetinaNet(nn.Module):
     anchor_cfg: MultiAnchorConfig = MultiAnchorConfig()
     train_cfg: DenseAnchorTrainConfig = DenseAnchorTrainConfig()
     test_cfg: DensePredictConfig = DensePredictConfig()
+    sep_bn_head: bool = False     # reference retina_sepbn_head.py variant
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -82,7 +127,8 @@ class RetinaNet(nn.Module):
         self.neck = FPN(in_channels=self.backbone.stage_channels(),
                         out_channels=256, num_outs=5, start_level=1,
                         add_extra_convs='on_input', dtype=self.dtype)
-        self.bbox_head = RetinaHead(
+        head_cls = RetinaSepBNHead if self.sep_bn_head else RetinaHead
+        self.bbox_head = head_cls(
             num_classes=self.num_classes,
             num_anchors=self.anchor_cfg.num_anchors, dtype=self.dtype)
 

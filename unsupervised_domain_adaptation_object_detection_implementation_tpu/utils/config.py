@@ -99,12 +99,20 @@ def set_by_dotted_key(cfg: dict, key: str, value: Any):
 
 
 def parse_option_value(raw: str) -> Any:
-    """Parse a CLI override value: int/float/bool/None/list via eval-lite."""
+    """Parse a CLI override value: int/float/bool/None/list via eval-lite.
+    Bracketed forms (`[45]`, `(8,11)`) go through `ast.literal_eval` —
+    mmdet's `--cfg-options` list syntax."""
     lowered = raw.lower()
     if lowered in ('true', 'false'):
         return lowered == 'true'
     if lowered in ('none', 'null'):
         return None
+    if raw[:1] in '[(' and raw[-1:] in ')]':
+        import ast
+        try:
+            return list(ast.literal_eval(raw))
+        except (ValueError, SyntaxError):
+            pass
     for caster in (int, float):
         try:
             return caster(raw)
