@@ -63,6 +63,11 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
     if isinstance(step_cfg, (int, float)):
         step_cfg = [step_cfg]
     milestones = tuple(int(m) * steps_per_epoch for m in step_cfg)
+    grad_clip = (cfg.get('optimizer_config', {}) or {}).get(
+        'grad_clip', None)
+    if isinstance(grad_clip, dict):
+        # mmdet form: dict(max_norm=35, norm_type=2)
+        grad_clip = grad_clip.get('max_norm')
     spec = OptimizerSpec(
         lr=opt_cfg.get('lr', 1e-3),
         momentum=opt_cfg.get('momentum', 0.9),
@@ -70,8 +75,7 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
         warmup_iters=lr_cfg.get('warmup_iters', 500),
         warmup_ratio=lr_cfg.get('warmup_ratio', 1e-4),
         decay_steps=milestones,
-        grad_clip=(cfg.get('optimizer_config', {}) or {}).get(
-            'grad_clip', None))
+        grad_clip=grad_clip)
 
     # init
     rng = jax.random.PRNGKey(seed)
@@ -106,8 +110,19 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
         state, tx = create_train_state(model, variables, spec,
                                        frozen_stages=frozen,
                                        ema=ema_momentum is not None)
+        # NaN-guard (reference `CheckInvalidLossHook`): skip nonfinite
+        # updates; on by default for adversarial (DA) models whose GRL
+        # game can spike late in training (RESULTS.md r01/r02)
+        _adversarial = {'DAFasterRCNN', 'DAFasterRCNN_Org', 'MAFasterRCNN',
+                        'FasterRCNN_SWDA', 'DAFasterRCNN_Deep',
+                        'DAFasterRCNN_Tri', 'CyDAFasterRCNN', 'CyCADA'}
+        model_type = cfg.model.get('type', '') \
+            if hasattr(cfg.model, 'get') else ''
+        nan_guard = bool((cfg.get('optimizer_config', {}) or {}).get(
+            'nan_guard', model_type in _adversarial))
         step_builder = lambda: make_train_step(  # noqa: E731
-            model, tx, ema_momentum=ema_momentum)
+            model, tx, skip_nonfinite=nan_guard,
+            ema_momentum=ema_momentum)
 
     start_epoch = 0
     if resume_from:

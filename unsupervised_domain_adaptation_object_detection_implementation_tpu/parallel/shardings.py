@@ -75,3 +75,38 @@ def shard_train_state(state, mesh: Mesh, model_axis: str = 'model'):
     step = jax.device_put(state.step, NamedSharding(mesh, P()))
     return state._replace(step=step, params=params, batch_stats=batch_stats,
                           opt_state=opt_state)
+
+
+def fsdp_param_shardings(params: Dict[str, Any], mesh: Mesh,
+                         data_axis: str = 'data',
+                         min_weight_size: int = 2 ** 16) -> Dict[str, Any]:
+    """ZeRO-3-style fully-sharded-parameter rules (beyond-reference bonus;
+    SURVEY §2.7 'natural extension = pjit param sharding').
+
+    Every parameter whose size ≥ `min_weight_size` and that has an axis
+    divisible by the data-axis size shards that (largest divisible) axis
+    over `data`; XLA/GSPMD inserts the all-gathers before use and
+    reduce-scatters for the grads — the memory/communication pattern of
+    FSDP with zero manual collectives. Small params stay replicated.
+    """
+    n_shards = mesh.shape[data_axis]
+
+    def rule(_, leaf):
+        shape = getattr(leaf, 'shape', ())
+        if leaf is None or not shape:
+            return NamedSharding(mesh, P())
+        size = 1
+        for d in shape:
+            size *= d
+        if size < min_weight_size:
+            return NamedSharding(mesh, P())
+        # largest axis divisible by the shard count
+        cands = [(d, i) for i, d in enumerate(shape) if d % n_shards == 0]
+        if not cands:
+            return NamedSharding(mesh, P())
+        _, ax = max(cands)
+        spec = [None] * len(shape)
+        spec[ax] = data_axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(rule, params)
