@@ -132,4 +132,15 @@ def build_detector(cfg: Dict[str, Any]):
         kwargs = cfg
     kwargs.update(extra)
     cls = DETECTORS.get(reg_name)
+    # drop kwargs the target family does not take (e.g. swapping
+    # `model.type` between families with different knobs via --cfg-options;
+    # mmdet configs routinely carry family-specific keys)
+    import dataclasses
+    if dataclasses.is_dataclass(cls):
+        fields = {f.name for f in dataclasses.fields(cls)}
+        dropped = sorted(k for k in kwargs if k not in fields)
+        if dropped:
+            import warnings
+            warnings.warn(f'{reg_name}: ignoring config keys {dropped}')
+            kwargs = {k: v for k, v in kwargs.items() if k in fields}
     return cls(**kwargs)
