@@ -81,6 +81,8 @@ def main():
     p.add_argument('--n-train', type=int, default=200)
     p.add_argument('--n-test', type=int, default=50)
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--coco-masks', action='store_true',
+                   help='also emit a COCO-json split with polygons')
     args = p.parse_args()
     rng = np.random.RandomState(args.seed)
     src = os.path.join(args.out_root, 'shapes_clear')
@@ -89,7 +91,51 @@ def main():
     write_split(src, 'test', args.n_test, rng, foggy=False)
     write_split(tgt, 'train', args.n_train, rng, foggy=True)
     write_split(tgt, 'test', args.n_test, rng, foggy=True)
+    if args.coco_masks:
+        seg = os.path.join(args.out_root, 'shapes_seg')
+        write_coco_split(seg, 'train', args.n_train, rng)
+        write_coco_split(seg, 'test', args.n_test, rng)
+        print(f'wrote {seg} (coco + polygons)')
     print(f'wrote {src} and {tgt}')
+
+
+
+
+def write_coco_split(root, name, n, rng):
+    """COCO-json variant WITH segmentation polygons (square = 4-gon,
+    circle = 16-gon) for instance-seg smoke training."""
+    import json
+    import math
+    img_dir = os.path.join(root, 'images')
+    os.makedirs(img_dir, exist_ok=True)
+    images, anns = [], []
+    aid = 1
+    for i in range(n):
+        img_id = i + 1
+        img, objs = make_image(rng, foggy=False)
+        fname = f'{name}_{i:04d}.jpg'
+        img.save(os.path.join(img_dir, fname), quality=92)
+        w, h = img.size
+        images.append(dict(id=img_id, file_name=fname, width=w, height=h))
+        for cls, x1, y1, x2, y2 in objs:
+            s = x2 - x1
+            if cls == 'square':
+                poly = [x1, y1, x2, y1, x2, y2, x1, y2]
+            else:
+                cx, cy, r = (x1 + x2) / 2, (y1 + y2) / 2, s / 2
+                poly = []
+                for k in range(16):
+                    a = 2 * math.pi * k / 16
+                    poly += [cx + r * math.cos(a), cy + r * math.sin(a)]
+            anns.append(dict(id=aid, image_id=img_id,
+                             category_id=CLASSES.index(cls) + 1,
+                             bbox=[x1, y1, s, s], area=float(s * s),
+                             iscrowd=0, segmentation=[poly]))
+            aid += 1
+    cats = [dict(id=i + 1, name=c) for i, c in enumerate(CLASSES)]
+    with open(os.path.join(root, f'{name}.json'), 'w') as f:
+        json.dump(dict(images=images, annotations=anns,
+                       categories=cats), f)
 
 
 if __name__ == '__main__':
