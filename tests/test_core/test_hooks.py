@@ -33,6 +33,11 @@ def test_guard_nonfinite_update():
     assert bool(skipped) and float(kept['w'][0]) == 0.0
     kept, skipped = guard_nonfinite_update(old, new, jnp.asarray(1.0))
     assert not bool(skipped) and float(kept['w'][0]) == 1.0
+    # finite loss but non-finite UPDATE (overflowing backward) must also
+    # skip — checking only the loss would poison the params permanently
+    bad = {'w': jnp.asarray([jnp.nan, 1.0])}
+    kept, skipped = guard_nonfinite_update(old, bad, jnp.asarray(1.0))
+    assert bool(skipped) and float(kept['w'][0]) == 0.0
 
 
 def test_train_step_updates_ema_params():

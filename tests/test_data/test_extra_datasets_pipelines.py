@@ -118,3 +118,38 @@ class TestAutoAugment:
         img_before = r['img'].copy()
         out = op(r)
         np.testing.assert_array_equal(out['img'], img_before)
+
+
+class TestPackFullMasks:
+    """`PackDetInputs(with_full_masks=True)` rebuilds full-image rasters
+    (SOLO's `gt_masks_full` contract) from box-frame masks."""
+
+    def _results(self):
+        img = np.zeros((64, 96, 3), np.uint8)
+        return dict(
+            img=img, img_shape=(64, 96), ori_shape=(64, 96),
+            gt_bboxes=np.asarray([[16., 8., 48., 40.]], np.float32),
+            gt_labels=np.asarray([0], np.int64),
+            gt_masks=np.ones((1, 56, 56), np.uint8))
+
+    def test_full_mask_paste(self):
+        from unsupervised_domain_adaptation_object_detection_implementation_tpu.data.pipelines.transforms import (
+            PackDetInputs)
+        out = PackDetInputs(max_gt=4, with_mask=True,
+                            with_full_masks=True)(self._results())
+        full = out['gt_masks_full']
+        assert full.shape == (4, 16, 24)  # stride 4
+        # box [16,8,48,40] / 4 -> [4,2,12,10]: ones exactly inside
+        assert full[0, 2:10, 4:12].all()
+        outside = full[0].copy()
+        outside[2:10, 4:12] = 0
+        assert not outside.any()
+        assert not full[1:].any()
+
+    def test_full_mask_without_rasters_fills_box(self):
+        from unsupervised_domain_adaptation_object_detection_implementation_tpu.data.pipelines.transforms import (
+            PackDetInputs)
+        r = self._results()
+        del r['gt_masks']
+        out = PackDetInputs(max_gt=4, with_full_masks=True)(r)
+        assert out['gt_masks_full'][0, 2:10, 4:12].all()

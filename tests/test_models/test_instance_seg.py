@@ -31,6 +31,19 @@ def test_solo():
     preds = m.apply(v, batch, train=False)
     assert preds['masks'].shape == (1, 100, 16, 16)
     assert preds['masks'].dtype == jnp.bool_
+    # box eval path (apis/test.run_inference): dets (B, k, 5) from
+    # quantile-robust mask extents, zeroed score where invalid
+    assert preds['dets'].shape == (1, 100, 5)
+    dets = np.asarray(preds['dets'])
+    masks = np.asarray(preds['masks'])
+    valid = np.asarray(preds['valid'])
+    for i in np.where(valid[0])[0][:5]:
+        ys, xs = np.where(masks[0, i])
+        x1, y1, x2, y2 = dets[0, i, :4]
+        assert x2 > x1 and y2 > y1
+        assert x1 >= xs.min() * 4 and x2 <= (xs.max() + 1) * 4
+        assert y1 >= ys.min() * 4 and y2 <= (ys.max() + 1) * 4
+    assert not np.any(dets[0, ~valid[0], 4] > 0)
 
 
 def test_yolact():

@@ -56,3 +56,18 @@ def test_fused_v3_fwd_bwd_matches_xla():
         roi_align_fused_v3(x, rois, 1 / 16., 7, 2, True, 64, 8, True) ** 2))(
         feats)
     assert float(jnp.abs(g_ref - g_got).max()) < 1e-4
+
+
+def test_fused_v4_fwd_bwd_matches_xla():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.ops.roi_align_pallas import (
+        roi_align_fused_v4)
+    feats, rois = _data()
+    ref = batched_roi_align(feats, rois, 1 / 16.)
+    got = roi_align_fused_v4(feats, rois, 1 / 16., 7, 2, True, 2, 8, True)
+    assert float(jnp.abs(ref - got).max()) < 1e-5
+    g_ref = jax.grad(lambda x: jnp.sum(
+        batched_roi_align(x, rois, 1 / 16.) ** 2))(feats)
+    g_got = jax.grad(lambda x: jnp.sum(
+        roi_align_fused_v4(x, rois, 1 / 16., 7, 2, True, 2, 8, True) ** 2))(
+        feats)
+    assert float(jnp.abs(g_ref - g_got).max()) < 1e-4

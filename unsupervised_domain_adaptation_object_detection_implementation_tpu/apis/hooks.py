@@ -44,12 +44,20 @@ def grad_norm(grads) -> jnp.ndarray:
 
 
 def guard_nonfinite_update(old_params, new_params, loss) -> Tuple:
-    """Keep the old params when the step produced a non-finite loss.
+    """Keep the old params when the step produced non-finite loss OR params.
 
     Returns (params, skipped_flag). Composable inside the jitted step —
     a NaN batch then costs one wasted step instead of a dead run.
+
+    Checking only the loss is not enough: a step can have a finite loss but
+    overflowing GRADIENTS (observed on SOLO: dice+focal backward spikes),
+    which would poison the params permanently while every later loss prints
+    NaN. The sum of all new params is one cheap fused reduction and is
+    non-finite iff any update was.
     """
-    ok = jnp.isfinite(loss)
+    leaves = jax.tree_util.tree_leaves(new_params)
+    tot = sum(jnp.sum(p.astype(jnp.float32)) for p in leaves)
+    ok = jnp.isfinite(loss) & jnp.isfinite(tot)
     params = jax.tree_util.tree_map(
         lambda o, n: jnp.where(ok, n, o), old_params, new_params)
     return params, ~ok

@@ -280,9 +280,15 @@ class PackDetInputs:
     meta becomes fixed-size numeric arrays.
     """
 
-    def __init__(self, max_gt: int = 100, with_mask: bool = False):
+    def __init__(self, max_gt: int = 100, with_mask: bool = False,
+                 with_full_masks: bool = False, full_mask_stride: int = 4):
         self.max_gt = max_gt
         self.with_mask = with_mask
+        # `gt_masks_full`: per-instance FULL-IMAGE rasters at 1/stride
+        # resolution (SOLO/panoptic consumers), rebuilt from the box-frame
+        # rasters by pasting each into its (resized) box
+        self.with_full_masks = with_full_masks
+        self.full_mask_stride = full_mask_stride
 
     def __call__(self, results):
         img = results['img'].astype(np.float32)
@@ -302,6 +308,29 @@ class PackDetInputs:
             if m is not None and n:
                 packed[:n] = m[:n]
             extra['gt_masks'] = packed
+        if self.with_full_masks:
+            from PIL import Image
+            st = self.full_mask_stride
+            fh, fw = img.shape[0] // st, img.shape[1] // st
+            full = np.zeros((self.max_gt, fh, fw), np.uint8)
+            m = results.get('gt_masks')
+            for gi in range(n):
+                x1, y1, x2, y2 = results['gt_bboxes'][gi] / st
+                bw = max(int(round(x2 - x1)), 1)
+                bh = max(int(round(y2 - y1)), 1)
+                if m is not None and m.size:
+                    r = np.asarray(Image.fromarray(
+                        (m[gi] * 255).astype(np.uint8)).resize(
+                        (bw, bh), Image.BILINEAR)) > 127
+                else:
+                    r = np.ones((bh, bw), bool)
+                xs, ys = int(round(x1)), int(round(y1))
+                xe, ye = min(xs + bw, fw), min(ys + bh, fh)
+                xs0, ys0 = max(xs, 0), max(ys, 0)
+                if xe > xs0 and ye > ys0:
+                    full[gi, ys0:ye, xs0:xe] = r[ys0 - ys:ye - ys,
+                                                xs0 - xs:xe - xs]
+            extra['gt_masks_full'] = full
         return dict(
             **extra,
             image=img,

@@ -42,12 +42,19 @@ class SOLOHead(nn.Module):
     @nn.compact
     def __call__(self, feats, mask_hw):
         cls_convs = [nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1)] * 2,
-                             dtype=self.dtype, name=f'cls_conv{i}')
+                             use_bias=False, dtype=self.dtype,
+                             name=f'cls_conv{i}')
                      for i in range(self.stacked_convs)]
         mask_convs = [nn.Conv(self.feat_channels, (3, 3),
-                              padding=[(1, 1)] * 2, dtype=self.dtype,
-                              name=f'mask_conv{i}')
+                              padding=[(1, 1)] * 2, use_bias=False,
+                              dtype=self.dtype, name=f'mask_conv{i}')
                       for i in range(self.stacked_convs)]
+        # reference SOLOHead stacks conv+GN(32)+ReLU (mmdet solo_head.py
+        # norm_cfg=GN) — the norms matter for mask-branch optimization
+        cls_gn = [nn.GroupNorm(32, dtype=self.dtype, name=f'cls_gn{i}')
+                  for i in range(self.stacked_convs)]
+        mask_gn = [nn.GroupNorm(32, dtype=self.dtype, name=f'mask_gn{i}')
+                   for i in range(self.stacked_convs)]
         cls_out = nn.Conv(self.num_classes, (3, 3), padding=[(1, 1)] * 2,
                           bias_init=nn.initializers.constant(-4.595),
                           dtype=self.dtype, name='solo_cls')
@@ -58,8 +65,8 @@ class SOLOHead(nn.Module):
             b, h, w, c = f.shape
             # cls branch on the S×S grid
             cg = jax.image.resize(f, (b, s, s, c), method='bilinear')
-            for conv in cls_convs:
-                cg = nn.relu(conv(cg))
+            for conv, gn in zip(cls_convs, cls_gn):
+                cg = nn.relu(gn(conv(cg)))
             cls_lv.append(cls_out(cg))                     # (B, S, S, C)
 
             # mask branch with coord-conv at shared mask resolution
@@ -69,8 +76,8 @@ class SOLOHead(nn.Module):
             coords = jnp.broadcast_to(
                 jnp.stack([xx, yy], -1)[None], (b, h, w, 2))
             mg = jnp.concatenate([f, coords.astype(f.dtype)], -1)
-            for conv in mask_convs:
-                mg = nn.relu(conv(mg))
+            for conv, gn in zip(mask_convs, mask_gn):
+                mg = nn.relu(gn(conv(mg)))
             mg = jax.image.resize(
                 mg, (b, mask_hw[0], mask_hw[1], self.feat_channels),
                 method='bilinear')
@@ -198,20 +205,60 @@ class SOLO(nn.Module):
 
         def per_image(sc, mk):
             flat = sc.reshape(-1)
-            top, idx = jax.lax.top_k(flat, k)
+            top, idx = jax.lax.top_k(flat, k)                # sorted desc
             cell = idx // C
             labels = (idx % C).astype(jnp.int32)
             sel_m = mk[cell]                                 # (k, Hm, Wm)
             bin_m = sel_m > self.mask_thr
-            # maskness rescoring (solo_head.py get_seg)
+            # maskness rescoring (SOLO get_seg)
             maskness = jnp.sum(sel_m * bin_m, axis=(1, 2)) / \
                 jnp.maximum(jnp.sum(bin_m, axis=(1, 2)), 1.0)
             final = top * maskness
+            # matrix NMS over binary masks (SOLO's matrix_nms, gaussian
+            # decay): overlapping lower-scored instances are decayed by
+            # min_i exp(-(iou_ij² - cmax_i²)/σ) over higher-scored i
+            flat_m = bin_m.reshape(k, -1).astype(jnp.float32)
+            inter = flat_m @ flat_m.T
+            areas = jnp.sum(flat_m, axis=1)
+            union = areas[:, None] + areas[None, :] - inter
+            iou = inter / jnp.maximum(union, 1.0)
+            same = labels[:, None] == labels[None, :]
+            upper = jnp.triu(jnp.ones((k, k), bool), 1)      # i<j, i stronger
+            dec_iou = jnp.where(upper & same, iou, 0.0)
+            cmax = jnp.max(dec_iou, axis=0)                  # per j
+            sigma = 2.0
+            decay = jnp.exp(-(dec_iou ** 2) / sigma) / \
+                jnp.exp(-(cmax[None, :] ** 2) / sigma)
+            decay = jnp.min(jnp.where(upper & same, decay, 1.0), axis=0)
+            final = final * decay
             valid = final > self.score_thr
             return bin_m, final, labels, valid
 
         bin_m, sc, labels, valid = jax.vmap(per_image)(scores, masks)
-        return dict(masks=bin_m, scores=sc, labels=labels, valid=valid)
+        # boxes from mask extents at stride 4, robust to stray pixels: the
+        # extent is where the cumulative row/col mass passes 2% of the
+        # total (exact tight bbox for clean masks)
+        stride = 4.0
+
+        def extents(mass):                                   # (B, k, L)
+            cum = jnp.cumsum(mass, axis=-1)
+            tot = cum[..., -1:]
+            lo = jnp.argmax(cum >= 0.02 * tot, axis=-1)
+            hi = jnp.argmax(cum >= (1.0 - 0.02) * tot, axis=-1) + 1
+            return lo, hi
+
+        mass_y = jnp.sum(bin_m, axis=3).astype(jnp.float32)  # (B, k, Hm)
+        mass_x = jnp.sum(bin_m, axis=2).astype(jnp.float32)  # (B, k, Wm)
+        y1, y2 = extents(mass_y)
+        x1, x2 = extents(mass_x)
+        nonempty = jnp.any(bin_m, axis=(2, 3))
+        boxes = jnp.stack([x1, y1, x2, y2], -1).astype(jnp.float32) * stride
+        boxes = boxes * nonempty[..., None]
+        valid = valid & nonempty
+        dets = jnp.concatenate(
+            [boxes, jnp.where(valid, sc, 0.0)[..., None]], -1)
+        return dict(masks=bin_m, scores=sc, labels=labels, valid=valid,
+                    dets=dets)
 
     def __call__(self, batch, train: bool = True):
         if train:

@@ -537,3 +537,188 @@ def _v3_bwd(spatial_scale, out_size, sampling_ratio, aligned, roi_chunk,
 roi_align_fused_v3.defvjp(
     lambda feats, rois, *a: _v3_fwd(feats, rois, *a),
     _v3_bwd)
+
+
+# ---------------------------------------------------------------------------
+# v4: BOTH passes on the MXU. v3 proved the stacked x-pass is one cheap dot
+# (4 ms across the whole step) and that the y-pass dies on the VPU (f32
+# accumulator spill). v4 makes the y-pass a single BLOCK-DIAGONAL dot per
+# cell: after the x-dot produces t[(r,ox),(h,c)], a per-RoI static-slice
+# relayout assembles t2[(r,h),(ox,c)] in VMEM scratch, and
+# out = Wy_blk @ t2 with Wy_blk[(r,oy),(r',h)] = δ(r,r')·wy[r,oy,h] built
+# OUTSIDE by XLA (tiny einsum-with-eye). The block-diagonal K-dim waste is
+# chunk× on a contraction whose useful FLOPs are ~50 GF/step — irrelevant
+# next to the HBM traffic this kernel avoids (the XLA path's (R,H,o,C)
+# intermediate, ~8.8 GB/step round-trip at bench shapes).
+# ---------------------------------------------------------------------------
+
+
+def _v4_fwd_kernel(featp_ref, wyblk_ref, wx_ref, out_ref, t2_ref, *,
+                   chunk, out_size, h, cs):
+    """Blocks: featp (1,1,W,H·Cs) · wyblk (1,1,chunk·o,chunk·H) ·
+    wx (1,1,chunk·o,W) → out (1,1,chunk·o,1,o·Cs);
+    scratch t2 (chunk·H, o·Cs)."""
+    o = out_size
+    t = jnp.dot(wx_ref[0, 0], featp_ref[0, 0],
+                preferred_element_type=jnp.float32)     # (chunk·o, H·Cs)
+    t = t.astype(featp_ref.dtype)
+    for r in range(chunk):
+        tr = t[r * o:(r + 1) * o, :].reshape(o, h, cs)
+        t2_ref[r * h:(r + 1) * h, :] = tr.transpose(1, 0, 2).reshape(
+            h, o * cs)
+    out_ref[0, 0, :, 0, :] = jnp.dot(
+        wyblk_ref[0, 0], t2_ref[:],
+        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _v4_bwd_kernel(g_ref, wyblk_ref, wx_ref, gf_ref, acc_ref, dt_ref, *,
+                   chunk, out_size, h, cs, n_chunks):
+    """g (1,1,chunk·o,1,o·Cs) → grad featp (1,1,W,H·Cs) accumulated over
+    the roi-chunk grid axis; scratch dt (chunk·o, H·Cs)."""
+    o = out_size
+    ri = pl.program_id(2)
+
+    @pl.when(ri == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    g = g_ref[0, 0, :, 0, :]                            # (chunk·o, o·Cs)
+    # dt2 = Wy_blk^T @ g → (chunk·H, o·Cs)
+    dt2 = jax.lax.dot_general(
+        wyblk_ref[0, 0], g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(g.dtype)
+    # inverse relayout: dt[(r,ox),(h,c)] from dt2[(r,h),(ox,c)]
+    for r in range(chunk):
+        dr = dt2[r * h:(r + 1) * h, :].reshape(h, o, cs)
+        dt_ref[r * o:(r + 1) * o, :] = dr.transpose(1, 0, 2).reshape(
+            o, h * cs)
+    # dfeatp += wx^T @ dt → (W, H·Cs)
+    acc_ref[:] += jax.lax.dot_general(
+        wx_ref[0, 0], dt_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ri == n_chunks - 1)
+    def _flush():
+        gf_ref[0, 0] = acc_ref[:].astype(gf_ref.dtype)
+
+
+def _v4_wyblk(wy, chunk):
+    """(B, K, chunk, o, H) → block-diagonal (B, K, chunk·o, chunk·H)."""
+    b, k, _, o, h = wy.shape
+    eye = jnp.eye(chunk, dtype=wy.dtype)
+    blk = jnp.einsum('bkrih,rs->bkrish', wy, eye)
+    return blk.reshape(b, k, chunk * o, chunk * h)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def roi_align_fused_v4(feats, rois, spatial_scale, out_size=7,
+                       sampling_ratio=2, aligned=True, roi_chunk=16,
+                       c_slab=256, interpret=False):
+    """All-MXU fused RoIAlign (see v4 header above)."""
+    out, _ = _v4_fwd(feats, rois, spatial_scale, out_size, sampling_ratio,
+                     aligned, roi_chunk, c_slab, interpret)
+    return out
+
+
+def _v4_fwd(feats, rois, spatial_scale, out_size, sampling_ratio, aligned,
+            roi_chunk, c_slab, interpret=False):
+    b, h, w, c = feats.shape
+    r = rois.shape[1]
+    chunk = min(roi_chunk, r)
+    wx, wy, n_chunks = _prep_weights(rois, spatial_scale, out_size,
+                                     sampling_ratio, aligned, h, w, chunk,
+                                     feats.dtype)
+    cs = min(c_slab, c)
+    assert c % cs == 0
+    n_slabs = c // cs
+    o = out_size
+    wyblk = _v4_wyblk(wy, chunk)
+    wx2 = wx.reshape(b, n_chunks, chunk * o, w)
+    featp = _pack_slab_major(feats, cs)
+
+    out = pl.pallas_call(
+        partial(_v4_fwd_kernel, chunk=chunk, out_size=o, h=h, cs=cs),
+        grid=(b, n_slabs, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, w, h * cs),
+                         lambda bi, ci, ri: (bi, ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk * o, chunk * h),
+                         lambda bi, ci, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk * o, w),
+                         lambda bi, ci, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, chunk * o, 1, o * cs),
+            lambda bi, ci, ri: (bi, ri, 0, ci, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n_chunks, chunk * o, n_slabs, o * cs), feats.dtype),
+        scratch_shapes=[pltpu.VMEM((chunk * h, o * cs), feats.dtype)],
+        interpret=interpret,
+    )(featp, wyblk, wx2)
+    # (B, K, (r,oy), S, (ox,cs)) → (B, R, oy, ox, C)
+    out = out.reshape(b, n_chunks, chunk, o, n_slabs, o, cs)
+    out = out.transpose(0, 1, 2, 3, 5, 4, 6)
+    out = out.reshape(b, n_chunks * chunk, o, o, c)[:, :r]
+    shape_token = jnp.zeros((h, w), feats.dtype)
+    return out, (rois, shape_token)
+
+
+def _v4_bwd(spatial_scale, out_size, sampling_ratio, aligned, roi_chunk,
+            c_slab, interpret, res, g):
+    rois, shape_token = res
+    h, w = shape_token.shape
+    feat_dtype = shape_token.dtype
+    b, r = rois.shape[:2]
+    c = g.shape[-1]
+    chunk = min(roi_chunk, r)
+    wx, wy, n_chunks = _prep_weights(rois, spatial_scale, out_size,
+                                     sampling_ratio, aligned, h, w, chunk,
+                                     feat_dtype)
+    cs = min(c_slab, c)
+    n_slabs = c // cs
+    o = out_size
+    pad_r = n_chunks * chunk - r
+    if pad_r:
+        g = jnp.pad(g, ((0, 0), (0, pad_r), (0, 0), (0, 0), (0, 0)))
+    # (B, R, oy, ox, C) → (B, K, (r,oy), S, (ox,cs)) [fwd out layout]
+    g = g.reshape(b, n_chunks, chunk, o, o, n_slabs, cs)
+    g = g.transpose(0, 1, 2, 3, 5, 4, 6)
+    g = g.reshape(b, n_chunks, chunk * o, n_slabs, o * cs).astype(feat_dtype)
+    wyblk = _v4_wyblk(wy, chunk)
+    wx2 = wx.reshape(b, n_chunks, chunk * o, w)
+
+    gfp = pl.pallas_call(
+        partial(_v4_bwd_kernel, chunk=chunk, out_size=o, h=h, cs=cs,
+                n_chunks=n_chunks),
+        grid=(b, n_slabs, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk * o, 1, o * cs),
+                         lambda bi, ci, ri: (bi, ri, 0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk * o, chunk * h),
+                         lambda bi, ci, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk * o, w),
+                         lambda bi, ci, ri: (bi, ri, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, w, h * cs),
+                               lambda bi, ci, ri: (bi, ci, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_slabs, w, h * cs), feat_dtype),
+        scratch_shapes=[pltpu.VMEM((w, h * cs), jnp.float32),
+                        pltpu.VMEM((chunk * o, h * cs), feat_dtype)],
+        interpret=interpret,
+    )(g, wyblk, wx2)
+    gf = gfp.reshape(b, n_slabs, w, h, cs).transpose(0, 3, 2, 1, 4)
+    gf = gf.reshape(b, h, w, c)
+    return gf, jnp.zeros_like(rois)
+
+
+roi_align_fused_v4.defvjp(
+    lambda feats, rois, *a: _v4_fwd(feats, rois, *a),
+    _v4_bwd)
