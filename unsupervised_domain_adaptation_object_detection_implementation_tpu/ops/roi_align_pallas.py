@@ -550,13 +550,26 @@ roi_align_fused_v3.defvjp(
 # chunk× on a contraction whose useful FLOPs are ~50 GF/step — irrelevant
 # next to the HBM traffic this kernel avoids (the XLA path's (R,H,o,C)
 # intermediate, ~8.8 GB/step round-trip at bench shapes).
+#
+# MEASURED (v5e, bench shapes 8×512 rois, 32×64×2048 bf16): fwd 31–38 ms,
+# bwd kernel ~24 ms (chunk 8–16, cs 256–512) vs XLA separable 18.7 / 12.7.
+# With both contractions now single MXU dots per cell, the remaining cost
+# is the per-RoI (o,H,Cs)→(H,o·Cs) relayout itself: ~7 µs/RoI of VMEM
+# shuffles, which retro-explains v1's 27 ms too (its "small dots" were
+# never the bottleneck). Four designs (v1 loop-dots, v2 row-dot+VPU,
+# v3 one-dot+VPU, v4 all-MXU+relayout) bracket the space: RoIAlign's
+# bilinear y-contraction needs a per-RoI lane→sublane exchange that Mosaic
+# cannot express cheaply, while XLA's fused elementwise pipeline overlaps
+# it with the HBM streaming it already pays for. The XLA separable path
+# (ops/roi_align.py) therefore remains the production default — it sits
+# within ~1.7× of its own HBM bound.
 # ---------------------------------------------------------------------------
 
 
 def _v4_fwd_kernel(featp_ref, wyblk_ref, wx_ref, out_ref, t2_ref, *,
                    chunk, out_size, h, cs):
     """Blocks: featp (1,1,W,H·Cs) · wyblk (1,1,chunk·o,chunk·H) ·
-    wx (1,1,chunk·o,W) → out (1,1,chunk·o,1,o·Cs);
+    wx (1,1,chunk·o,W) → out (1,1,1,chunk·o,o·Cs);
     scratch t2 (chunk·H, o·Cs)."""
     o = out_size
     t = jnp.dot(wx_ref[0, 0], featp_ref[0, 0],
@@ -566,14 +579,14 @@ def _v4_fwd_kernel(featp_ref, wyblk_ref, wx_ref, out_ref, t2_ref, *,
         tr = t[r * o:(r + 1) * o, :].reshape(o, h, cs)
         t2_ref[r * h:(r + 1) * h, :] = tr.transpose(1, 0, 2).reshape(
             h, o * cs)
-    out_ref[0, 0, :, 0, :] = jnp.dot(
+    out_ref[0, 0, 0] = jnp.dot(
         wyblk_ref[0, 0], t2_ref[:],
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _v4_bwd_kernel(g_ref, wyblk_ref, wx_ref, gf_ref, acc_ref, dt_ref, *,
                    chunk, out_size, h, cs, n_chunks):
-    """g (1,1,chunk·o,1,o·Cs) → grad featp (1,1,W,H·Cs) accumulated over
+    """g (1,1,1,chunk·o,o·Cs) → grad featp (1,1,W,H·Cs) accumulated over
     the roi-chunk grid axis; scratch dt (chunk·o, H·Cs)."""
     o = out_size
     ri = pl.program_id(2)
@@ -582,7 +595,7 @@ def _v4_bwd_kernel(g_ref, wyblk_ref, wx_ref, gf_ref, acc_ref, dt_ref, *,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    g = g_ref[0, 0, :, 0, :]                            # (chunk·o, o·Cs)
+    g = g_ref[0, 0, 0]                                  # (chunk·o, o·Cs)
     # dt2 = Wy_blk^T @ g → (chunk·H, o·Cs)
     dt2 = jax.lax.dot_general(
         wyblk_ref[0, 0], g, (((0,), (0,)), ((), ())),
@@ -651,17 +664,17 @@ def _v4_fwd(feats, rois, spatial_scale, out_size, sampling_ratio, aligned,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, chunk * o, 1, o * cs),
-            lambda bi, ci, ri: (bi, ri, 0, ci, 0),
+            (1, 1, 1, chunk * o, o * cs),
+            lambda bi, ci, ri: (bi, ri, ci, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (b, n_chunks, chunk * o, n_slabs, o * cs), feats.dtype),
+            (b, n_chunks, n_slabs, chunk * o, o * cs), feats.dtype),
         scratch_shapes=[pltpu.VMEM((chunk * h, o * cs), feats.dtype)],
         interpret=interpret,
     )(featp, wyblk, wx2)
-    # (B, K, (r,oy), S, (ox,cs)) → (B, R, oy, ox, C)
-    out = out.reshape(b, n_chunks, chunk, o, n_slabs, o, cs)
-    out = out.transpose(0, 1, 2, 3, 5, 4, 6)
+    # (B, K, S, (r,oy), (ox,cs)) → (B, R, oy, ox, C)
+    out = out.reshape(b, n_chunks, n_slabs, chunk, o, o, cs)
+    out = out.transpose(0, 1, 3, 4, 5, 2, 6)
     out = out.reshape(b, n_chunks * chunk, o, o, c)[:, :r]
     shape_token = jnp.zeros((h, w), feats.dtype)
     return out, (rois, shape_token)
@@ -684,10 +697,10 @@ def _v4_bwd(spatial_scale, out_size, sampling_ratio, aligned, roi_chunk,
     pad_r = n_chunks * chunk - r
     if pad_r:
         g = jnp.pad(g, ((0, 0), (0, pad_r), (0, 0), (0, 0), (0, 0)))
-    # (B, R, oy, ox, C) → (B, K, (r,oy), S, (ox,cs)) [fwd out layout]
+    # (B, R, oy, ox, C) → (B, K, S, (r,oy), (ox,cs)) [fwd out layout]
     g = g.reshape(b, n_chunks, chunk, o, o, n_slabs, cs)
-    g = g.transpose(0, 1, 2, 3, 5, 4, 6)
-    g = g.reshape(b, n_chunks, chunk * o, n_slabs, o * cs).astype(feat_dtype)
+    g = g.transpose(0, 1, 5, 2, 3, 4, 6)
+    g = g.reshape(b, n_chunks, n_slabs, chunk * o, o * cs).astype(feat_dtype)
     wyblk = _v4_wyblk(wy, chunk)
     wx2 = wx.reshape(b, n_chunks, chunk * o, w)
 
@@ -696,8 +709,8 @@ def _v4_bwd(spatial_scale, out_size, sampling_ratio, aligned, roi_chunk,
                 n_chunks=n_chunks),
         grid=(b, n_slabs, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, chunk * o, 1, o * cs),
-                         lambda bi, ci, ri: (bi, ri, 0, ci, 0),
+            pl.BlockSpec((1, 1, 1, chunk * o, o * cs),
+                         lambda bi, ci, ri: (bi, ri, ci, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, chunk * o, chunk * h),
                          lambda bi, ci, ri: (bi, ri, 0, 0),
