@@ -69,3 +69,20 @@ def test_train_step_updates_ema_params():
     assert float(jnp.linalg.norm(ema - init)) > 0.0
     assert float(jnp.linalg.norm(ema - init)) < \
         float(jnp.linalg.norm(raw - init))
+
+
+def test_optimizer_types():
+    """OptimizerSpec.opt_type selects SGD/Adam/AdamW (reference DETR-family
+    configs train with AdamW, `configs/detr/detr_r50_8x2_150e_coco.py`)."""
+    import optax
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.apis.train_state import (
+        OptimizerSpec, make_optimizer)
+    params = {'w': jnp.ones((4,))}
+    grads = {'w': jnp.full((4,), 0.5)}
+    for kind in ('sgd', 'adam', 'adamw'):
+        tx = make_optimizer(OptimizerSpec(lr=1e-2, warmup_iters=0,
+                                          opt_type=kind))
+        st = tx.init(params)
+        upd, _ = tx.update(grads, st, params)
+        new = optax.apply_updates(params, upd)
+        assert float(new['w'][0]) < 1.0, kind

@@ -42,6 +42,9 @@ class OptimizerSpec(NamedTuple):
     decay_steps: Tuple[int, ...] = ()      # absolute iteration milestones
     decay_factor: float = 0.1
     grad_clip: Optional[float] = None
+    # 'sgd' | 'adam' | 'adamw' — the reference's DETR-family configs use
+    # AdamW (`configs/detr/detr_r50_8x2_150e_coco.py` optimizer type)
+    opt_type: str = 'sgd'
 
 
 def make_lr_schedule(spec: OptimizerSpec) -> Callable[[jnp.ndarray], jnp.ndarray]:
@@ -90,10 +93,18 @@ def make_optimizer(spec: OptimizerSpec, params=None, frozen_stages: int = -1
     chain = []
     if spec.grad_clip:
         chain.append(optax.clip_by_global_norm(spec.grad_clip))
-    chain += [
-        optax.add_decayed_weights(spec.weight_decay),
-        optax.sgd(learning_rate=schedule, momentum=spec.momentum),
-    ]
+    kind = spec.opt_type.lower()
+    if kind == 'adamw':
+        # decoupled weight decay, matching torch.optim.AdamW
+        chain.append(optax.adamw(learning_rate=schedule,
+                                 weight_decay=spec.weight_decay))
+    elif kind == 'adam':
+        # torch Adam couples wd as L2 on the gradient (before moments)
+        chain += [optax.add_decayed_weights(spec.weight_decay),
+                  optax.adam(learning_rate=schedule)]
+    else:
+        chain += [optax.add_decayed_weights(spec.weight_decay),
+                  optax.sgd(learning_rate=schedule, momentum=spec.momentum)]
     tx = optax.chain(*chain)
     if params is not None and frozen_stages >= 0:
         # NOTE: optax.masked would pass the RAW gradient through for
