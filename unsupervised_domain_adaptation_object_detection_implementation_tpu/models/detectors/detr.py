@@ -45,6 +45,15 @@ class TransformerLayer(nn.Module):
     heads: int = 8
     ffn_dim: int = 2048
     decoder: bool = False
+    # Decoder layer 0 receives x = 0 (DETR's zero content queries), so its
+    # self-attention output is a CONSTANT across queries (v = x = 0 ⇒ only
+    # biases survive) and norm1 sees an exactly-zero input — a degenerate
+    # LayerNorm whose 1/√ε backward inflates two bias grads ~1000×, which
+    # under the reference recipe (global clip 0.1 + AdamW) scales every
+    # OTHER grad below Adam's ε and freezes training (measured: query_embed
+    # unchanged after 600 steps). Skipping the block there is functionally
+    # equivalent up to a learned constant (absorbed by later biases).
+    skip_self_attn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -53,10 +62,13 @@ class TransformerLayer(nn.Module):
         def with_pos(t, p):
             return t if p is None else t + p
 
-        sa = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, dtype=self.dtype, name='self_attn')
-        h = nn.LayerNorm(dtype=self.dtype, name='norm1')(
-            x + sa(with_pos(x, q_pos), with_pos(x, q_pos), x))
+        if self.skip_self_attn:
+            h = x
+        else:
+            sa = nn.MultiHeadDotProductAttention(
+                num_heads=self.heads, dtype=self.dtype, name='self_attn')
+            h = nn.LayerNorm(dtype=self.dtype, name='norm1')(
+                x + sa(with_pos(x, q_pos), with_pos(x, q_pos), x))
         if self.decoder:
             ca = nn.MultiHeadDotProductAttention(
                 num_heads=self.heads, dtype=self.dtype, name='cross_attn')
@@ -104,6 +116,7 @@ class DETR(nn.Module):
                                          name=f'enc{i}')
                         for i in range(self.enc_layers)]
         self.decoder = [TransformerLayer(dim=self.embed_dim, decoder=True,
+                                         skip_self_attn=(i == 0),
                                          dtype=self.dtype,
                                          name=f'dec{i}')
                         for i in range(self.dec_layers)]
