@@ -45,6 +45,39 @@ def test_train_and_inference(make):
     assert any('.' in k for k in losses)
 
 
+def test_detr_gradient_balance():
+    """Regression for the decoder-layer-0 degenerate LayerNorm.
+
+    With zero content queries, layer 0's self-attn fed LayerNorm an
+    exactly-zero input whose 1/sqrt(eps) backward inflated two bias grads
+    ~1000x over every other parameter; under the reference recipe
+    (global clip 0.1) that froze all learning (query_embed grad ~1e-3 of
+    the max leaf). The layer-0 self-attn block is now skipped
+    (functionally a constant there). Guard: query_embed's grad must be
+    within 3 orders of magnitude of the largest leaf grad-norm.
+    """
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors import DETR
+    m = DETR(num_classes=4, backbone_depth=18, num_queries=20,
+             enc_layers=1, dec_layers=2, frozen_stages=0)
+    batch = _batch()
+    v = m.init(jax.random.PRNGKey(0), batch)
+
+    def total(p):
+        out = m.apply({'params': p, **{k: v[k] for k in v
+                                       if k != 'params'}}, batch)
+        return sum(jnp.sum(x) for x in out.values())
+
+    g = jax.grad(total)(v['params'])
+    # no self_attn params exist in decoder layer 0
+    assert 'self_attn' not in g['dec0']
+    norms = {p: float(jnp.linalg.norm(l))
+             for p, l in jax.tree_util.tree_flatten_with_path(g)[0]
+             for p in [jax.tree_util.keystr(p)]}
+    q = norms["['query_embed']"]
+    assert q > 0
+    assert q > max(norms.values()) * 1e-3, norms
+
+
 def test_deformable_detr_backbone_grads():
     m = DeformableDETR(num_classes=4, backbone_depth=18, num_queries=20,
                        enc_layers=1, dec_layers=2)
