@@ -1,0 +1,99 @@
+"""Generic backbone×detector swap (reference `mmdet/models/builder.py:20`
+`build_backbone` + the zoo's cross-product configs, e.g.
+`configs/res2net/faster_rcnn_r2_101_fpn_2x_coco.py`,
+`configs/resnest/*`, `configs/regnet/*`).
+
+Any registered trunk can be dropped into any detector family through
+`model.backbone_cfg` (or a reference-style nested `model.backbone` dict);
+aliases map reference type names onto parametrized modules (ResNeXt →
+ResNet+groups, ResNetV1d → deep_stem+avg_down)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.backbones.build import (
+    build_trunk, freeze_trunk_cfg)
+from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.backbones.resnet import ResNet
+from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.builder import build_detector
+
+
+def _batch(b=1, s=64, n=4):
+    return dict(image=jnp.zeros((b, s, s, 3)),
+                gt_bboxes=jnp.zeros((b, n, 4)),
+                gt_labels=jnp.zeros((b, n), jnp.int32),
+                gt_valid=jnp.zeros((b, n), bool),
+                img_shape=jnp.tile(jnp.array([[float(s), float(s)]]), (b, 1)))
+
+
+def _n_params(model, batch):
+    shapes = jax.eval_shape(lambda: model.init(
+        {'params': jax.random.PRNGKey(0), 'sampler': jax.random.PRNGKey(1)},
+        batch))
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes))
+
+
+@pytest.mark.parametrize('det,bb', [
+    ('RetinaNet', dict(type='Res2Net', depth=50)),
+    ('FasterRCNNFPN', dict(type='ResNeXt', depth=50)),
+    ('FCOS', dict(type='HRNet')),
+    ('ATSS', dict(type='RegNet')),
+])
+def test_swap_builds(det, bb):
+    model = build_detector(dict(type=det, num_classes=3, backbone_cfg=bb))
+    assert _n_params(model, _batch()) > 1e6
+
+
+def test_nested_reference_style_backbone_dict():
+    # reference configs carry model.backbone=dict(type=..., ...) — the
+    # nested translation path must route non-ResNet types through the swap
+    model = build_detector(dict(
+        type='FasterRCNN',
+        backbone=dict(type='ResNeXt', depth=50, groups=32, base_width=4,
+                      norm_cfg=dict(type='BN'), style='pytorch'),
+        rpn_head=dict(anchor_generator=dict(scales=[8], ratios=[0.5, 1, 2])),
+        roi_head=dict(bbox_head=dict(num_classes=3))))
+    bb = model.backbone_cfg
+    assert isinstance(bb, tuple)          # frozen → hashable for jit
+    assert dict(bb)['groups'] == 32
+    # torch-only keys (norm_cfg/style) are dropped silently at build time
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        trunk = build_trunk(bb, dtype=jnp.float32)
+    assert trunk.groups == 32 and trunk.depth == 50
+
+
+def test_v1d_stem_and_avg_down():
+    # ResNetV1d (reference `mmdet/models/backbones/resnet.py:ResNetV1d`):
+    # 3×3×3 deep stem + avg-pool shortcut downsample
+    trunk = build_trunk(freeze_trunk_cfg(dict(type='ResNetV1d', depth=50)),
+                        dtype=jnp.float32, out_indices=(3,))
+    assert trunk.deep_stem and trunk.avg_down
+    shapes = jax.eval_shape(
+        lambda: trunk.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    params = shapes['params']
+    assert 'stem0' in params and 'stem2' in params and 'conv1' not in params
+    # stride-2 downsample conv must be 1×1 stride-1 (stride moved to avgpool)
+    y = trunk.apply(trunk.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3))),
+                    jnp.ones((1, 64, 64, 3)))
+    assert y[0].shape == (1, 2, 2, 2048)
+
+
+def test_swap_forward_interface():
+    # every trunk honours __call__(x) -> tuple + stage_channels()
+    trunk = build_trunk(freeze_trunk_cfg(dict(type='Res2Net', depth=50)),
+                        dtype=jnp.float32)
+    v = trunk.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    outs = trunk.apply(v, jnp.zeros((1, 64, 64, 3)))
+    chans = trunk.stage_channels()
+    assert len(outs) == len(chans) or outs[-1].shape[-1] == chans[-1]
+
+
+def test_unknown_keys_warn_not_crash():
+    with pytest.warns(UserWarning, match='ignoring backbone config'):
+        build_trunk(freeze_trunk_cfg(dict(type='ResNet', depth=50,
+                                          bogus_knob=1)),
+                    dtype=jnp.float32)

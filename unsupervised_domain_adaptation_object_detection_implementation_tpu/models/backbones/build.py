@@ -1,0 +1,99 @@
+"""Generic trunk factory — backbone×detector combinatorics via config.
+
+TPU-native equivalent of the reference's `build_backbone`
+(`mmdet/models/builder.py:20`): every registered backbone shares the
+uniform `__call__(x) -> tuple[featmaps]` + `stage_channels()` interface,
+so any detector family can swap its trunk through
+`model.backbone_cfg=dict(type='Res2Net', ...)` — matching the zoo's
+cross-products (e.g. reference `configs/res2net/faster_rcnn_r2_101_fpn_*`,
+`configs/hrnet/faster_rcnn_hrnetv2p_w32_*`, `configs/regnet/*`,
+`configs/pvt/retinanet_pvt-t_*`).
+
+Reference backbone names that map onto parametrized modules here are
+accepted as aliases (ResNeXt = ResNet+groups, reference `resnext.py`;
+ResNetV1d = deep_stem+avg_down, reference `resnet.py:ResNetV1d`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import warnings
+from typing import Any, Dict, Optional
+
+from ...utils.registry import BACKBONES
+
+# reference type name → (registered name, implied kwargs)
+BACKBONE_ALIASES: Dict[str, Any] = {
+    'ResNeXt': ('ResNet', dict(groups=32, base_width=4)),
+    'ResNetV1d': ('ResNet', dict(deep_stem=True, avg_down=True)),
+    'Darknet': ('Darknet53', {}),
+    'PyramidVisionTransformer': ('PVT', {}),
+    'PyramidVisionTransformerV2': ('PVT', dict(v2=True)),
+    'DetectoRS_ResNet': ('DetectoRSResNet', {}),
+}
+
+# config keys that only make sense for the torch reference — dropped
+# silently rather than warned about.
+_TORCH_ONLY_KEYS = frozenset({
+    'init_cfg', 'norm_cfg', 'norm_eval', 'style', 'pretrained',
+    'with_cp', 'zero_init_residual', 'conv_cfg', 'dcn', 'stage_with_dcn',
+    'plugins', 'act_cfg', 'pretrain_img_size', 'convert_weights',
+})
+
+
+def freeze_trunk_cfg(cfg):
+    """dict config → hashable tuple-of-pairs (Flax module fields must be
+    hashable for jit static-arg caching). Lists become tuples, nested
+    dicts recurse. ``None`` passes through."""
+    if cfg is None or isinstance(cfg, tuple):
+        return cfg
+    def _f(v):
+        if isinstance(v, dict):
+            return tuple(sorted((k, _f(x)) for k, x in v.items()))
+        if isinstance(v, (list, tuple)):
+            return tuple(_f(x) for x in v)
+        return v
+    return _f(dict(cfg))
+
+
+def _thaw(cfg) -> Dict[str, Any]:
+    """Inverse of freeze_trunk_cfg's top level (values stay tuples —
+    build_trunk treats tuples and lists alike)."""
+    if isinstance(cfg, tuple):
+        return {k: v for k, v in cfg}
+    return dict(cfg)
+
+
+def build_trunk(cfg, *, dtype, **defaults):
+    """Build a trunk module.
+
+    ``cfg is None`` → ``ResNet(**defaults)`` (each detector's native
+    default shape). ``cfg`` a dict (or frozen tuple-of-pairs from
+    :func:`freeze_trunk_cfg`) → the named backbone, with the detector's
+    defaults filled in for keys the cfg leaves unset and everything
+    filtered to the target's dataclass fields.
+    """
+    if cfg is None:
+        cls = BACKBONES.get('ResNet')
+        kwargs = dict(defaults)
+        user_keys: set = set()
+    else:
+        cfg = {k: v for k, v in _thaw(cfg).items()
+               if k not in _TORCH_ONLY_KEYS}
+        type_name = cfg.pop('type', 'ResNet')
+        reg_name, implied = BACKBONE_ALIASES.get(type_name, (type_name, {}))
+        cls = BACKBONES.get(reg_name)
+        kwargs = {**implied, **cfg}
+        user_keys = set(cfg)
+        for k, v in defaults.items():
+            kwargs.setdefault(k, v)
+    kwargs['dtype'] = dtype
+    fields = {f.name for f in dataclasses.fields(cls)}
+    bad_user = sorted(user_keys - fields)
+    if bad_user:
+        warnings.warn(f'{cls.__name__}: ignoring backbone config keys '
+                      f'{bad_user}')
+    # lists from python-dict configs → hashable tuples (static jit args)
+    clean = {k: tuple(v) if isinstance(v, list) else v
+             for k, v in kwargs.items() if k in fields}
+    return cls(**clean)

@@ -39,6 +39,7 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     groups: int = 1
     base_width: int = 4
+    avg_down: bool = False   # V1d: avgpool shortcut (resnet.py ResNetV1d)
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
 
@@ -64,10 +65,17 @@ class Bottleneck(nn.Module):
                       dtype=self.dtype, name='conv3')(out)
         out = FrozenBatchNorm(self.planes * self.expansion, name='bn3')(out)
         if self.downsample:
+            identity = x
+            ds_stride = self.stride
+            if self.avg_down and self.stride > 1:
+                identity = nn.avg_pool(identity,
+                                       (self.stride, self.stride),
+                                       strides=(self.stride, self.stride))
+                ds_stride = 1
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
-                               strides=(self.stride, self.stride),
+                               strides=(ds_stride, ds_stride),
                                use_bias=False, dtype=self.dtype,
-                               name='downsample_conv')(x)
+                               name='downsample_conv')(identity)
             identity = FrozenBatchNorm(self.planes * self.expansion,
                                        name='downsample_bn')(identity)
         return nn.relu(out + identity)
@@ -80,6 +88,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     downsample: bool = False
+    avg_down: bool = False
     dtype: jnp.dtype = jnp.float32
     expansion: int = 1
 
@@ -96,10 +105,17 @@ class BasicBlock(nn.Module):
                       use_bias=False, dtype=self.dtype, name='conv2')(out)
         out = FrozenBatchNorm(self.planes, name='bn2')(out)
         if self.downsample:
+            identity = x
+            ds_stride = self.stride
+            if self.avg_down and self.stride > 1:
+                identity = nn.avg_pool(identity,
+                                       (self.stride, self.stride),
+                                       strides=(self.stride, self.stride))
+                ds_stride = 1
             identity = nn.Conv(self.planes, (1, 1),
-                               strides=(self.stride, self.stride),
+                               strides=(ds_stride, ds_stride),
                                use_bias=False, dtype=self.dtype,
-                               name='downsample_conv')(x)
+                               name='downsample_conv')(identity)
             identity = FrozenBatchNorm(self.planes, name='downsample_bn')(identity)
         return nn.relu(out + identity)
 
@@ -124,6 +140,8 @@ class ResNet(nn.Module):
     frozen_stages: int = -1
     groups: int = 1          # >1 + base_width → ResNeXt
     base_width: int = 4
+    deep_stem: bool = False  # V1d: 3x 3x3 stem (reference ResNetV1d)
+    avg_down: bool = False   # V1d: avgpool in downsample shortcuts
     dtype: jnp.dtype = jnp.float32
 
     def stage_channels(self) -> Tuple[int, ...]:
@@ -137,11 +155,21 @@ class ResNet(nn.Module):
         """x: (..., H, W, 3) normalized. Returns tuple of feature maps at
         `out_indices` (or all 4 stages if `return_all_stages`)."""
         block_cls, stage_blocks = ARCH_SETTINGS[self.depth]
-        x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2),
-                    padding=[(3, 3)] * 2, use_bias=False, dtype=self.dtype,
-                    name='conv1')(x)
-        x = FrozenBatchNorm(self.base_channels, name='bn1')(x)
-        x = nn.relu(x)
+        if self.deep_stem:
+            widths = (self.base_channels // 2, self.base_channels // 2,
+                      self.base_channels)
+            for i, w in enumerate(widths):
+                x = nn.Conv(w, (3, 3), strides=(2, 2) if i == 0 else (1, 1),
+                            padding=[(1, 1)] * 2, use_bias=False,
+                            dtype=self.dtype, name=f'stem{i}')(x)
+                x = FrozenBatchNorm(w, name=f'stem_bn{i}')(x)
+                x = nn.relu(x)
+        else:
+            x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2),
+                        padding=[(3, 3)] * 2, use_bias=False,
+                        dtype=self.dtype, name='conv1')(x)
+            x = FrozenBatchNorm(self.base_channels, name='bn1')(x)
+            x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)
@@ -153,9 +181,9 @@ class ResNet(nn.Module):
                 first = b == 0
                 in_ch = x.shape[-1]
                 out_ch = planes * (4 if block_cls is Bottleneck else 1)
-                kwargs = {}
+                kwargs = dict(avg_down=self.avg_down)
                 if block_cls is Bottleneck:
-                    kwargs = dict(groups=self.groups,
+                    kwargs.update(groups=self.groups,
                                   base_width=self.base_width)
                 x = block_cls(
                     planes=planes,

@@ -48,6 +48,10 @@ def _nested_to_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
     if backbone.get('trunk_type') or backbone.get('type') == 'SwinTransformer':
         kwargs['backbone_type'] = backbone.get('trunk_type', 'swin')
         kwargs['featmap_stride'] = 32
+    elif backbone.get('type', 'ResNet') != 'ResNet':
+        # non-default trunk (Res2Net, HRNet, RegNet, ResNeXt, V1d, PVT, …)
+        # → generic swap through backbones/build.py
+        kwargs['backbone_cfg'] = backbone
 
     rpn = cfg.get('rpn_head', {})
     anch = rpn.get('anchor_generator', {})
@@ -131,6 +135,10 @@ def build_detector(cfg: Dict[str, Any]):
     else:
         kwargs = cfg
     kwargs.update(extra)
+    if isinstance(kwargs.get('backbone_cfg'), dict):
+        # Flax module fields must be hashable for jit static-arg caching
+        from .backbones.build import freeze_trunk_cfg
+        kwargs['backbone_cfg'] = freeze_trunk_cfg(kwargs['backbone_cfg'])
     cls = DETECTORS.get(reg_name)
     # drop kwargs the target family does not take (e.g. swapping
     # `model.type` between families with different knobs via --cfg-options;

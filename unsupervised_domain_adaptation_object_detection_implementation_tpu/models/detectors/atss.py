@@ -17,7 +17,7 @@ from ...core.bbox.atss_assigner import atss_assign
 from ...core.bbox.transforms import bbox2delta, clip_boxes, delta2bbox
 from ...core.post.nms import NEG_INF, batched_nms
 from ...utils.registry import DETECTORS, HEADS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..dense_heads.anchor_head import (DensePredictConfig,
                                        flatten_level_preds)
 from ..losses import giou_loss, sigmoid_focal_loss
@@ -66,6 +66,7 @@ class ATSSHead(nn.Module):
 class ATSS(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     topk: int = 9
@@ -73,8 +74,8 @@ class ATSS(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = FPN(in_channels=self.backbone.stage_channels(),

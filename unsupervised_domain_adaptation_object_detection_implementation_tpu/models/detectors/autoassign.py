@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ...core.bbox.coders import distance2bbox
 from ...core.bbox.iou import bbox_overlaps
 from ...utils.registry import DETECTORS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..necks.fpn import FPN
 from .fcos import FCOSHead, fcos_points
 from ..dense_heads.anchor_head import (DensePredictConfig,
@@ -34,6 +34,7 @@ from ...core.post.nms import NEG_INF, batched_nms
 class AutoAssign(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     pos_temperature: float = 3.0
@@ -42,8 +43,8 @@ class AutoAssign(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = FPN(in_channels=self.backbone.stage_channels(),

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...utils.registry import DETECTORS, HEADS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..losses import gaussian_focal_loss, l1_loss
 from ..necks.fpn import FPN
 
@@ -73,14 +73,15 @@ class CenterNetHead(nn.Module):
 class CenterNet(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 18
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = -1
     stride: int = 4
     test_cfg: CenterNetTestConfig = CenterNetTestConfig()
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         # FPN down to one stride-4 map stands in for the reference's

@@ -24,7 +24,7 @@ from optax import assignment as optax_assignment
 from ...core.bbox.transforms import clip_boxes
 from ...ops import ms_deform_attn_core
 from ...utils.registry import DETECTORS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..losses import giou_loss, sigmoid_focal_loss
 from ..necks.zoo_necks import ChannelMapper
 from .detr import (_cxcywh_to_xyxy, _xyxy_to_cxcywh,
@@ -109,6 +109,7 @@ class DeformableDecoderLayer(nn.Module):
 class DeformableDETR(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     embed_dim: int = 256
     num_queries: int = 300
@@ -123,8 +124,8 @@ class DeformableDETR(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = ChannelMapper(

@@ -21,7 +21,7 @@ from optax import assignment as optax_assignment
 
 from ...core.bbox.transforms import clip_boxes
 from ...utils.registry import DETECTORS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..losses import giou_loss, l1_loss
 from ..losses.cross_entropy_loss import softmax_cross_entropy
 
@@ -89,6 +89,7 @@ class DETRTestConfig(NamedTuple):
 class DETR(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     embed_dim: int = 256
     num_queries: int = 100
@@ -103,8 +104,8 @@ class DETR(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(3,),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.input_proj = nn.Dense(self.embed_dim, dtype=self.dtype)

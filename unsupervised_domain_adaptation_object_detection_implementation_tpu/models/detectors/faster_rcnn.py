@@ -21,7 +21,7 @@ import numpy as np
 
 from ...core.anchors.anchor_generator import AnchorGenerator
 from ...utils.registry import DETECTORS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..dense_heads.rpn_head import (ProposalConfig, RPNHead, RPNTrainConfig,
                                     rpn_loss, rpn_proposals)
 from ..roi_heads.bbox_head import Shared2FCBBoxHead
@@ -50,6 +50,7 @@ class AnchorConfig(NamedTuple):
 class FasterRCNN(nn.Module):
     num_classes: int = 8
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     anchor_cfg: AnchorConfig = AnchorConfig()
     rpn_train_cfg: RPNTrainConfig = RPNTrainConfig()
@@ -62,8 +63,8 @@ class FasterRCNN(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 1),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 1),
             dilations=(1, 1, 1, 2), out_indices=(3,),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.rpn_head = RPNHead(

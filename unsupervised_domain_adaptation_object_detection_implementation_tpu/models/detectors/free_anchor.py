@@ -26,7 +26,7 @@ from ...core.anchors.anchor_generator import AnchorGenerator
 from ...core.bbox.iou import bbox_overlaps
 from ...core.bbox.transforms import bbox2delta, delta2bbox
 from ...utils.registry import DETECTORS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..dense_heads.anchor_head import (DensePredictConfig,
                                        dense_anchor_predict,
                                        flatten_level_preds)
@@ -38,6 +38,7 @@ from .retinanet import RetinaHead
 class FreeAnchor(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     pre_anchor_topk: int = 50
@@ -49,8 +50,8 @@ class FreeAnchor(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = FPN(in_channels=self.backbone.stage_channels(),

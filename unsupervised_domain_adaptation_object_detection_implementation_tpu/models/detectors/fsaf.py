@@ -25,7 +25,7 @@ from ...core.bbox.coders import bbox2tblr, tblr2bbox
 from ...core.bbox.transforms import clip_boxes
 from ...core.post.nms import NEG_INF, batched_nms
 from ...utils.registry import DETECTORS, HEADS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..dense_heads.anchor_head import (DensePredictConfig,
                                        flatten_level_preds)
 from ..losses import sigmoid_focal_loss
@@ -71,6 +71,7 @@ class FSAFHead(nn.Module):
 class FSAF(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     pos_scale: float = 0.2       # effective region
@@ -80,8 +81,8 @@ class FSAF(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = FPN(in_channels=self.backbone.stage_channels(),

@@ -23,7 +23,7 @@ from ...core.bbox.iou import bbox_overlaps
 from ...core.bbox.transforms import clip_boxes
 from ...core.post.nms import NEG_INF, batched_nms
 from ...utils.registry import DETECTORS, HEADS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..dense_heads.anchor_head import (DensePredictConfig,
                                        flatten_level_preds)
 from ..losses import giou_loss
@@ -79,6 +79,7 @@ def _dist_expectation(reg_logits: jnp.ndarray, reg_max: int) -> jnp.ndarray:
 class GFL(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     reg_max: int = 16
@@ -87,8 +88,8 @@ class GFL(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = FPN(in_channels=self.backbone.stage_channels(),

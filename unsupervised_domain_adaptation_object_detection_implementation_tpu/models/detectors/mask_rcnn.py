@@ -18,7 +18,7 @@ import numpy as np
 
 from ...core.anchors.anchor_generator import AnchorGenerator
 from ...utils.registry import DETECTORS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..dense_heads.anchor_head import flatten_level_preds
 from ..dense_heads.rpn_head import (ProposalConfig, RPNTrainConfig, rpn_loss,
                                     rpn_proposals)
@@ -36,6 +36,7 @@ from .faster_rcnn_fpn import FPNRPNHead
 class MaskRCNN(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     rpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
     rpn_train_cfg: RPNTrainConfig = RPNTrainConfig()
@@ -49,8 +50,8 @@ class MaskRCNN(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = FPN(in_channels=self.backbone.stage_channels(),

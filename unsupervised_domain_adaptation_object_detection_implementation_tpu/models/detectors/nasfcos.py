@@ -8,7 +8,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ...utils.registry import DETECTORS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..necks.zoo_necks import NASFCOS_FPN
 from .fcos import FCOS, FCOSHead
 
@@ -16,8 +16,8 @@ from .fcos import FCOS, FCOSHead
 @DETECTORS.register_module()
 class NASFCOS(FCOS):
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = NASFCOS_FPN(

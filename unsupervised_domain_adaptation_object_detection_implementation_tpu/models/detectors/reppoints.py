@@ -27,7 +27,7 @@ from ...core.bbox.transforms import clip_boxes
 from ...core.post.nms import NEG_INF, batched_nms
 from ...ops import batched_deform_conv2d
 from ...utils.registry import DETECTORS, HEADS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..dense_heads.anchor_head import (DensePredictConfig,
                                        flatten_level_preds)
 from ..losses import sigmoid_focal_loss, smooth_l1_loss
@@ -113,6 +113,7 @@ class RepPointsHead(nn.Module):
 class RepPoints(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     point_base_scale: int = 4
@@ -120,8 +121,8 @@ class RepPoints(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = FPN(in_channels=self.backbone.stage_channels(),

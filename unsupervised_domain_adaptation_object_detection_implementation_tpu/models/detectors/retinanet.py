@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...utils.registry import DETECTORS, HEADS
+from ..backbones.build import build_trunk
 from ..backbones.resnet import ResNet
 from ..dense_heads.anchor_head import (DenseAnchorTrainConfig,
                                        DensePredictConfig, MultiAnchorConfig,
@@ -112,6 +113,7 @@ class RetinaSepBNHead(nn.Module):
 class RetinaNet(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     anchor_cfg: MultiAnchorConfig = MultiAnchorConfig()
     train_cfg: DenseAnchorTrainConfig = DenseAnchorTrainConfig()
@@ -120,8 +122,8 @@ class RetinaNet(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = FPN(in_channels=self.backbone.stage_channels(),

@@ -32,7 +32,7 @@ from ...core.bbox.extra_assigners import center_region_assign
 from ...core.bbox.transforms import bbox2delta, clip_boxes, delta2bbox
 from ...core.post.nms import NEG_INF, nms
 from ...utils.registry import DETECTORS, HEADS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..dense_heads.anchor_head import (DensePredictConfig,
                                        dense_anchor_predict,
                                        flatten_level_preds)
@@ -72,6 +72,7 @@ class RPN(nn.Module):
 
     num_classes: int = 1        # ignored; proposals are class-agnostic
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     rpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
     rpn_train_cfg: RPNTrainConfig = RPNTrainConfig()
@@ -79,8 +80,8 @@ class RPN(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = FPN(in_channels=self.backbone.stage_channels(),
@@ -128,14 +129,15 @@ class FastRCNN(nn.Module):
 
     num_classes: int = 80
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     roi_train_cfg: RoITrainConfig = RoITrainConfig(use_sigmoid_cls=False)
     roi_test_cfg: RoITestConfig = RoITestConfig()
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = FPN(in_channels=self.backbone.stage_channels(),
@@ -223,6 +225,7 @@ class _GABase(nn.Module):
 
     num_classes: int = 80
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     octave_base: float = 8.0         # anchor base = stride * octave_base
@@ -234,8 +237,8 @@ class _GABase(nn.Module):
         raise NotImplementedError
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         start = 1 if self.strides[0] == 8 else 0
@@ -447,6 +450,7 @@ class CascadeRPN(nn.Module):
 
     num_classes: int = 1
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
     anchor_scale: float = 8.0
@@ -456,11 +460,11 @@ class CascadeRPN(nn.Module):
     @nn.compact
     def _stages(self, image):
         """Backbone→FPN→both RPN stages; returns flat preds + anchors."""
-        backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
-            dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
-            frozen_stages=self.frozen_stages, dtype=self.dtype,
-            name='backbone')
+        backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth,
+            strides=(1, 2, 2, 2), dilations=(1, 1, 1, 1),
+            out_indices=(0, 1, 2, 3), frozen_stages=self.frozen_stages,
+            dtype=self.dtype, name='backbone')
         neck = FPN(in_channels=backbone.stage_channels(),
                    out_channels=256, num_outs=5, dtype=self.dtype,
                    name='neck')

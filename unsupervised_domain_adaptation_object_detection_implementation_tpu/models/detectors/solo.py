@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...utils.registry import DETECTORS, HEADS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..losses import sigmoid_focal_loss
 from ..losses.extra_losses import dice_loss
 from ..necks.fpn import FPN
@@ -91,6 +91,7 @@ class SOLOHead(nn.Module):
 class SOLO(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     grid_sizes: Sequence[int] = (40, 36, 24, 16, 12)
     sigma: float = 0.2
@@ -100,8 +101,8 @@ class SOLO(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = FPN(in_channels=self.backbone.stage_channels(),

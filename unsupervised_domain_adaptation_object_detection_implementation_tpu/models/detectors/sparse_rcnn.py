@@ -25,7 +25,7 @@ from optax import assignment as optax_assignment
 from ...core.bbox.transforms import bbox2delta, clip_boxes, delta2bbox
 from ...ops import batched_roi_align
 from ...utils.registry import DETECTORS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..losses import giou_loss, l1_loss, sigmoid_focal_loss
 from ..necks.fpn import FPN
 from .deformable_detr import _focal_layer_loss
@@ -91,6 +91,7 @@ class DIIHead(nn.Module):
 class SparseRCNN(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     num_proposals: int = 100
     num_stages: int = 6
@@ -102,8 +103,8 @@ class SparseRCNN(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = FPN(in_channels=self.backbone.stage_channels(),

@@ -20,7 +20,7 @@ from ...core.anchors.anchor_generator import AnchorGenerator
 from ...core.bbox.extra_assigners import uniform_assign
 from ...core.bbox.transforms import delta2bbox
 from ...utils.registry import DETECTORS, HEADS
-from ..backbones.resnet import ResNet
+from ..backbones.build import build_trunk
 from ..dense_heads.anchor_head import (DensePredictConfig,
                                        dense_anchor_predict)
 from ..layers.norm import FrozenBatchNorm
@@ -74,6 +74,7 @@ class YOLOFHead(nn.Module):
 class YOLOF(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 50
+    backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     anchor_scales: Tuple[int, ...] = (1, 2, 4, 8, 16)
     stride: int = 32
@@ -81,8 +82,8 @@ class YOLOF(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
-            depth=self.backbone_depth, strides=(1, 2, 2, 2),
+        self.backbone = build_trunk(
+            self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(3,),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = DilatedEncoder(in_channels=2048, out_channels=512,
