@@ -1,0 +1,5 @@
+# Faster R-CNN ResNeXt-101 32x4d (reference
+# configs/faster_rcnn/faster_rcnn_x101_32x4d_fpn_1x_coco.py).
+_base_ = ['../faster_rcnn/faster_rcnn_r50_fpn_1x.py']
+model = dict(backbone_cfg=dict(type='ResNeXt', depth=101, groups=32,
+                               base_width=4))

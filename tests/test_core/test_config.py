@@ -76,3 +76,30 @@ def test_all_repo_configs_load():
                 assert 'type' in cfg.model, f
                 count += 1
     assert count >= 1
+
+
+def test_all_repo_configs_build_modules():
+    """Every config's model dict must BUILD into a detector module (not just
+    load) — catches bad field names in backbone_cfg/nested dicts."""
+    import warnings
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.builder import (
+        build_detector)
+    root = os.path.join(os.path.dirname(__file__), '..', '..', 'configs')
+    count = 0
+    for dirpath, _, files in os.walk(root):
+        if '_base_' in dirpath:
+            continue
+        for f in sorted(files):
+            if not f.endswith('.py'):
+                continue
+            cfg = Config.fromfile(os.path.join(dirpath, f))
+            with warnings.catch_warnings():
+                # unknown USER keys in a config are bugs, not noise
+                warnings.simplefilter('error', UserWarning)
+                model = build_detector(cfg.model)
+            assert model is not None, f
+            bb = getattr(model, 'backbone_cfg', None)
+            if bb is not None:
+                assert isinstance(bb, tuple), f  # frozen → hashable
+            count += 1
+    assert count >= 59

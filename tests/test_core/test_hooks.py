@@ -54,8 +54,10 @@ def test_train_step_updates_ema_params():
     model = Toy()
     batch = {'x': jnp.ones((4, 3)), 'y': jnp.zeros((4, 1))}
     variables = model.init(jax.random.PRNGKey(0), batch)
+    # small lr keeps the trajectory monotone so the EMA genuinely lags
+    # (at high lr SGD+momentum oscillates and the lag inequality flips)
     state, tx = create_train_state(model, variables,
-                                   OptimizerSpec(lr=0.1, warmup_iters=0),
+                                   OptimizerSpec(lr=0.01, warmup_iters=0),
                                    ema=True)
     assert state.ema_params is not None
     step = jax.jit(make_train_step(model, tx, ema_momentum=0.9))

@@ -76,7 +76,8 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
         warmup_ratio=lr_cfg.get('warmup_ratio', 1e-4),
         decay_steps=milestones,
         grad_clip=grad_clip,
-        opt_type=str(opt_cfg.get('type', 'SGD')).lower())
+        opt_type=str(opt_cfg.get('type', 'SGD')).lower(),
+        paramwise=opt_cfg.get('paramwise_cfg'))
 
     # init
     rng = jax.random.PRNGKey(seed)

@@ -45,13 +45,22 @@ class OptimizerSpec(NamedTuple):
     # 'sgd' | 'adam' | 'adamw' — the reference's DETR-family configs use
     # AdamW (`configs/detr/detr_r50_8x2_150e_coco.py` optimizer type)
     opt_type: str = 'sgd'
+    # mmcv DefaultOptimizerConstructor `paramwise_cfg`: per-group lr/decay
+    # multipliers — dict(custom_keys={'backbone': dict(lr_mult=0.1)},
+    # bias_lr_mult=..., bias_decay_mult=..., norm_decay_mult=...).
+    # Reference DETR/Deformable/Swin configs all rely on this
+    # (`configs/detr/detr_r50_8x2_150e_coco.py` paramwise_cfg).
+    paramwise: Any = None
 
 
 def make_lr_schedule(spec: OptimizerSpec) -> Callable[[jnp.ndarray], jnp.ndarray]:
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
-        warm_frac = jnp.clip(step / jnp.maximum(spec.warmup_iters, 1), 0, 1)
-        warm = spec.warmup_ratio + (1 - spec.warmup_ratio) * warm_frac
+        if spec.warmup_iters > 0:
+            warm_frac = jnp.clip(step / spec.warmup_iters, 0, 1)
+            warm = spec.warmup_ratio + (1 - spec.warmup_ratio) * warm_frac
+        else:
+            warm = 1.0
         decay = spec.decay_factor ** jnp.sum(
             jnp.asarray([step >= m for m in spec.decay_steps], jnp.float32)) \
             if spec.decay_steps else 1.0
@@ -87,35 +96,104 @@ def frozen_mask(params, frozen_stages: int, extra_frozen=()) -> Any:
         lambda path, _: is_trainable(path), params)
 
 
+def paramwise_labels(params, pw_cfg) -> Tuple[Any, Dict[str, Tuple[float, float]]]:
+    """mmcv `DefaultOptimizerConstructor` paramwise grouping
+    (reference mmcv `runner/optimizer/default_constructor.py`): returns a
+    label tree over `params` plus `label -> (lr_mult, decay_mult)`.
+
+    Rules, in precedence order per parameter:
+    1. `custom_keys` — longest key that is a substring of the dotted param
+       path wins; takes `lr_mult`/`decay_mult` (defaults 1.0).
+    2. norm-layer params (flax modules with a `scale` leaf and no `kernel`,
+       i.e. FrozenBatchNorm/LayerNorm/GroupNorm) get `norm_decay_mult`.
+    3. other biases get `bias_lr_mult` / `bias_decay_mult`.
+    """
+    pw = dict(pw_cfg or {})
+    custom = {k: dict(v) for k, v in dict(pw.get('custom_keys', {})).items()}
+    custom_sorted = sorted(custom, key=len, reverse=True)
+    bias_lr = float(pw.get('bias_lr_mult', 1.0))
+    bias_wd = float(pw.get('bias_decay_mult', 1.0))
+    norm_wd = float(pw.get('norm_decay_mult', 1.0))
+
+    groups: Dict[Tuple[float, float], str] = {}
+
+    def label_of(lr_m: float, wd_m: float) -> str:
+        key = (float(lr_m), float(wd_m))
+        if key not in groups:
+            groups[key] = f'g{len(groups)}'
+        return groups[key]
+
+    def walk(tree, path):
+        if not isinstance(tree, (dict, flax.core.FrozenDict)):
+            name = '.'.join(path)
+            for k in custom_sorted:
+                if k in name:
+                    return label_of(custom[k].get('lr_mult', 1.0),
+                                    custom[k].get('decay_mult', 1.0))
+            is_norm = path[-1] in ('scale', 'bias') and \
+                'scale' in parent_keys[-1] and 'kernel' not in parent_keys[-1]
+            if is_norm:
+                return label_of(1.0, norm_wd)
+            if path[-1] == 'bias':
+                return label_of(bias_lr, bias_wd)
+            return label_of(1.0, 1.0)
+        parent_keys.append(set(tree.keys()))
+        out = {k: walk(v, path + (k,)) for k, v in tree.items()}
+        parent_keys.pop()
+        return out
+
+    parent_keys = [set()]
+    labels = walk(params, ())
+    return labels, {v: k for k, v in groups.items()}
+
+
 def make_optimizer(spec: OptimizerSpec, params=None, frozen_stages: int = -1
                    ) -> optax.GradientTransformation:
     schedule = make_lr_schedule(spec)
+    kind = spec.opt_type.lower()
+
+    def group_tx(lr_mult: float = 1.0, decay_mult: float = 1.0):
+        lr = schedule if lr_mult == 1.0 else \
+            (lambda step, m=lr_mult: schedule(step) * m)
+        wd = spec.weight_decay * decay_mult
+        if kind == 'adamw':
+            # decoupled weight decay, matching torch.optim.AdamW
+            return optax.adamw(learning_rate=lr, weight_decay=wd)
+        if kind == 'adam':
+            # torch Adam couples wd as L2 on the gradient (before moments)
+            return optax.chain(optax.add_decayed_weights(wd),
+                               optax.adam(learning_rate=lr))
+        return optax.chain(optax.add_decayed_weights(wd),
+                           optax.sgd(learning_rate=lr,
+                                     momentum=spec.momentum))
+
     chain = []
     if spec.grad_clip:
+        # global-norm clip over the WHOLE gradient tree, before any
+        # per-group splitting (torch clips the same way: one global norm)
         chain.append(optax.clip_by_global_norm(spec.grad_clip))
-    kind = spec.opt_type.lower()
-    if kind == 'adamw':
-        # decoupled weight decay, matching torch.optim.AdamW
-        chain.append(optax.adamw(learning_rate=schedule,
-                                 weight_decay=spec.weight_decay))
-    elif kind == 'adam':
-        # torch Adam couples wd as L2 on the gradient (before moments)
-        chain += [optax.add_decayed_weights(spec.weight_decay),
-                  optax.adam(learning_rate=schedule)]
-    else:
-        chain += [optax.add_decayed_weights(spec.weight_decay),
-                  optax.sgd(learning_rate=schedule, momentum=spec.momentum)]
-    tx = optax.chain(*chain)
-    if params is not None and frozen_stages >= 0:
+
+    needs_groups = params is not None and \
+        (spec.paramwise or frozen_stages >= 0)
+    if needs_groups:
+        if spec.paramwise:
+            labels, mults = paramwise_labels(params, spec.paramwise)
+        else:
+            labels = jax.tree_util.tree_map(lambda _: 'g0', params)
+            mults = {'g0': (1.0, 1.0)}
         # NOTE: optax.masked would pass the RAW gradient through for
         # non-masked leaves; multi_transform + set_to_zero gives frozen
         # leaves a true zero update.
-        mask = frozen_mask(params, frozen_stages)
-        labels = jax.tree_util.tree_map(
-            lambda t: 'train' if t else 'freeze', mask)
-        tx = optax.multi_transform(
-            {'train': tx, 'freeze': optax.set_to_zero()}, labels)
-    return tx
+        if frozen_stages >= 0:
+            mask = frozen_mask(params, frozen_stages)
+            labels = jax.tree_util.tree_map(
+                lambda lab, t: lab if t else 'freeze', labels, mask)
+        transforms = {lab: group_tx(*ms) for lab, ms in mults.items()}
+        transforms['freeze'] = optax.set_to_zero()
+        chain.append(optax.multi_transform(transforms, labels))
+    else:
+        chain.append(group_tx())
+    return optax.chain(*chain)
 
 
 def create_train_state(model, variables, spec: OptimizerSpec,

@@ -50,8 +50,15 @@ def _nested_to_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
         kwargs['featmap_stride'] = 32
     elif backbone.get('type', 'ResNet') != 'ResNet':
         # non-default trunk (Res2Net, HRNet, RegNet, ResNeXt, V1d, PVT, …)
-        # → generic swap through backbones/build.py
-        kwargs['backbone_cfg'] = backbone
+        # → generic swap through backbones/build.py. DA trunk variants
+        # (ResNet_DA_*) are handled by the detector itself via `variant`
+        # taps, not the generic swap.
+        from ..utils.registry import BACKBONES
+        from .backbones.build import BACKBONE_ALIASES
+        btype = backbone['type']
+        if btype != 'DAResNet' and (btype in BACKBONE_ALIASES
+                                    or btype in BACKBONES):
+            kwargs['backbone_cfg'] = backbone
 
     rpn = cfg.get('rpn_head', {})
     anch = rpn.get('anchor_generator', {})
