@@ -94,3 +94,32 @@ def test_multiclass_nms():
     lbls = np.asarray(labels)[v]
     assert set(lbls.tolist()) == {0, 1}
     assert np.asarray(dets)[0, 4] == pytest.approx(0.9)
+
+
+def test_fast_nms_suppression_semantics():
+    """fast NMS (YOLACT, reference bbox_nms.py:98): any higher-scored
+    same-class overlap suppresses — including chains where greedy NMS
+    would re-admit."""
+    import jax.numpy as jnp
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.core.post import fast_nms
+    # A(0.9) suppresses B(0.8); greedy re-admits C(0.7) (overlaps B only),
+    # fast NMS also keeps C only if it doesn't overlap B above thr — here it
+    # does overlap B, so fast NMS drops it while keeping A.
+    boxes = jnp.array([[0., 0., 10., 10.],     # A
+                       [1., 0., 11., 10.],     # B: IoU(A,B) ~ 0.82
+                       [8., 0., 18., 10.]])    # C: IoU(B,C) ~ 0.18, IoU(A,C) ~ 0.11
+    scores = jnp.array([0.9, 0.8, 0.7])
+    labels = jnp.zeros(3, jnp.int32)
+    dets, out_labels, valid = fast_nms(boxes, scores, labels,
+                                       iou_threshold=0.5, score_thr=0.0,
+                                       max_out=3)
+    assert bool(valid[0]) and abs(float(dets[0, 4]) - 0.9) < 1e-6
+    # B suppressed by A; C kept (low IoU with both)
+    kept_scores = sorted(float(s) for s, v in zip(dets[:, 4], valid) if v)
+    import numpy as np
+    np.testing.assert_allclose(kept_scores, [0.7, 0.9], atol=1e-6)
+    # different classes never suppress each other
+    labels2 = jnp.array([0, 1, 0], jnp.int32)
+    _, _, valid2 = fast_nms(boxes, scores, labels2, iou_threshold=0.5,
+                            score_thr=0.0, max_out=3)
+    assert int(valid2.sum()) == 3

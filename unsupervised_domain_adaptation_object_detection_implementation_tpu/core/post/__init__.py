@@ -1,3 +1,3 @@
-from .nms import nms, nms_select, batched_nms, multiclass_nms
+from .nms import nms, nms_select, batched_nms, multiclass_nms, fast_nms
 
-__all__ = ['nms', 'nms_select', 'batched_nms', 'multiclass_nms']
+__all__ = ['nms', 'nms_select', 'batched_nms', 'multiclass_nms', 'fast_nms']

@@ -210,3 +210,50 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     out_labels = jnp.where(valid, flat_labels[top_idx], 0)
     dets = jnp.concatenate([out_boxes, out_scores[:, None]], axis=-1)
     return dets, out_labels, valid
+
+
+def fast_nms(boxes: jnp.ndarray,
+             scores: jnp.ndarray,
+             labels: jnp.ndarray,
+             iou_threshold: float = 0.5,
+             score_thr: float = 0.05,
+             max_out: int = 100):
+    """YOLACT's fast NMS (reference `core/post_processing/bbox_nms.py:98`).
+
+    One (N, N) IoU matrix per class-offset set; a box is suppressed if ANY
+    higher-scored box of the same class overlaps it above the threshold —
+    no re-admission of boxes whose suppressor was itself suppressed. This
+    slightly over-suppresses vs greedy NMS but is one dense matmul-shaped
+    pass with zero sequential dependencies — the most TPU-idiomatic NMS.
+
+    Args:
+        boxes: (N, 4); scores: (N,); labels: (N,) int class ids.
+    Returns:
+        dets (max_out, 5), labels (max_out,), valid (max_out,) —
+        descending score, zero-padded.
+    """
+    n = scores.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+    s = scores[order]
+    l = labels[order]
+    # class-offset trick: different classes never overlap
+    max_coord = jnp.max(jnp.abs(b)) + 1.0
+    shifted = b + (l.astype(b.dtype) * (max_coord + 1.0))[:, None]
+    from ..bbox.iou import bbox_overlaps
+    iou = bbox_overlaps(shifted, shifted)                     # (N, N)
+    upper = jnp.triu(jnp.ones((n, n), bool), k=1)             # j < i ⇒ row j above
+    suppressed = jnp.any(jnp.where(upper, iou, 0.0).T > iou_threshold, -1)
+    keep = (~suppressed) & (s > score_thr)
+    sel = jnp.where(keep, s, NEG_INF)
+    k = min(max_out, n)
+    top, idx = jax.lax.top_k(sel, k)
+    if k < max_out:
+        pad = max_out - k
+        top = jnp.concatenate([top, jnp.full((pad,), NEG_INF)])
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+    valid = top > NEG_INF / 2
+    dets = jnp.concatenate(
+        [b[idx] * valid[:, None].astype(b.dtype),
+         jnp.where(valid, top, 0.0)[:, None]], -1)
+    return dets, jnp.where(valid, l[idx], 0), valid
