@@ -1,3 +1,5 @@
-from .nms import nms, nms_select, batched_nms, multiclass_nms, fast_nms
+from .nms import (nms, nms_select, batched_nms, multiclass_nms, fast_nms,
+                  fast_nms_keep)
 
-__all__ = ['nms', 'nms_select', 'batched_nms', 'multiclass_nms', 'fast_nms']
+__all__ = ['nms', 'nms_select', 'batched_nms', 'multiclass_nms', 'fast_nms',
+           'fast_nms_keep']

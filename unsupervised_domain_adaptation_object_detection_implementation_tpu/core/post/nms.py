@@ -212,6 +212,25 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     return dets, out_labels, valid
 
 
+def fast_nms_keep(boxes: jnp.ndarray,
+                  scores: jnp.ndarray,
+                  labels: jnp.ndarray,
+                  iou_threshold: float) -> jnp.ndarray:
+    """Keep mask (original order) of YOLACT's fast NMS: a box is suppressed
+    if ANY higher-scored same-class box overlaps it above the threshold —
+    no re-admission of boxes whose suppressor was itself suppressed. One
+    dense (N, N) IoU matrix, zero sequential dependencies — the most
+    TPU-idiomatic NMS form."""
+    # class-offset trick: different classes never overlap
+    max_coord = jnp.max(jnp.abs(boxes)) + 1.0
+    shifted = boxes + (labels.astype(boxes.dtype) * (max_coord + 1.0))[:, None]
+    from ..bbox.iou import bbox_overlaps
+    iou = bbox_overlaps(shifted, shifted)                     # (N, N)
+    higher = scores[:, None] > scores[None, :]                # i beats j
+    suppressed = jnp.any((iou > iou_threshold) & higher, axis=0)
+    return ~suppressed
+
+
 def fast_nms(boxes: jnp.ndarray,
              scores: jnp.ndarray,
              labels: jnp.ndarray,
@@ -220,12 +239,6 @@ def fast_nms(boxes: jnp.ndarray,
              max_out: int = 100):
     """YOLACT's fast NMS (reference `core/post_processing/bbox_nms.py:98`).
 
-    One (N, N) IoU matrix per class-offset set; a box is suppressed if ANY
-    higher-scored box of the same class overlaps it above the threshold —
-    no re-admission of boxes whose suppressor was itself suppressed. This
-    slightly over-suppresses vs greedy NMS but is one dense matmul-shaped
-    pass with zero sequential dependencies — the most TPU-idiomatic NMS.
-
     Args:
         boxes: (N, 4); scores: (N,); labels: (N,) int class ids.
     Returns:
@@ -233,18 +246,8 @@ def fast_nms(boxes: jnp.ndarray,
         descending score, zero-padded.
     """
     n = scores.shape[0]
-    order = jnp.argsort(-scores)
-    b = boxes[order]
-    s = scores[order]
-    l = labels[order]
-    # class-offset trick: different classes never overlap
-    max_coord = jnp.max(jnp.abs(b)) + 1.0
-    shifted = b + (l.astype(b.dtype) * (max_coord + 1.0))[:, None]
-    from ..bbox.iou import bbox_overlaps
-    iou = bbox_overlaps(shifted, shifted)                     # (N, N)
-    upper = jnp.triu(jnp.ones((n, n), bool), k=1)             # j < i ⇒ row j above
-    suppressed = jnp.any(jnp.where(upper, iou, 0.0).T > iou_threshold, -1)
-    keep = (~suppressed) & (s > score_thr)
+    b, s, l = boxes, scores, labels
+    keep = fast_nms_keep(b, s, l, iou_threshold) & (s > score_thr)
     sel = jnp.where(keep, s, NEG_INF)
     k = min(max_out, n)
     top, idx = jax.lax.top_k(sel, k)

@@ -25,7 +25,7 @@ import numpy as np
 from ...core.anchors.anchor_generator import AnchorGenerator
 from ...core.bbox.assigners import max_iou_assign
 from ...core.bbox.transforms import clip_boxes, delta2bbox, bbox2delta
-from ...core.post.nms import NEG_INF, batched_nms
+from ...core.post.nms import NEG_INF, batched_nms, fast_nms_keep
 from ...utils.registry import DETECTORS, HEADS
 from ..backbones.build import build_trunk
 from ..dense_heads.anchor_head import (DensePredictConfig,
@@ -67,6 +67,9 @@ class YOLACT(nn.Module):
     num_protos: int = 32
     num_anchors: int = 3
     test_cfg: DensePredictConfig = DensePredictConfig()
+    # reference YOLACT defaults to fast NMS (`yolact.py` test_cfg
+    # fast_nms); exact greedy batched NMS selectable for ablation
+    use_fast_nms: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -221,8 +224,12 @@ class YOLACT(nn.Module):
             labels = (idx % C).astype(jnp.int32)
             boxes = delta2bbox(anchors[a_idx], reg_i[a_idx])
             boxes = clip_boxes(boxes, shape_i.astype(boxes.dtype))
-            keep, _ = batched_nms(boxes, top, labels,
-                                  cfg.nms_iou_threshold, cfg.nms_tile)
+            if self.use_fast_nms:
+                keep = fast_nms_keep(boxes, top, labels,
+                                     cfg.nms_iou_threshold)
+            else:
+                keep, _ = batched_nms(boxes, top, labels,
+                                      cfg.nms_iou_threshold, cfg.nms_tile)
             kept = jnp.where(keep, top, NEG_INF)
             mm = min(cfg.max_per_img, k)
             sc, sel = jax.lax.top_k(kept, mm)
