@@ -101,5 +101,14 @@ def test_all_repo_configs_build_modules():
             bb = getattr(model, 'backbone_cfg', None)
             if bb is not None:
                 assert isinstance(bb, tuple), f  # frozen → hashable
+                # construct the trunk too — build_trunk is where unknown
+                # backbone-key / geometry-drop warnings fire (setup() is
+                # lazy, so build_detector alone cannot catch them)
+                import jax.numpy as jnp
+                from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.backbones.build import (
+                    build_trunk)
+                with warnings.catch_warnings():
+                    warnings.simplefilter('error', UserWarning)
+                    build_trunk(bb, dtype=jnp.float32)
             count += 1
     assert count >= 59

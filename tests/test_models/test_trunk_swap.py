@@ -97,3 +97,27 @@ def test_unknown_keys_warn_not_crash():
         build_trunk(freeze_trunk_cfg(dict(type='ResNet', depth=50,
                                           bogus_knob=1)),
                     dtype=jnp.float32)
+
+
+def test_v1d_avg_down_odd_dims():
+    """torch ceil_mode=True semantics: the avg-pool shortcut must match the
+    main path's pad-1 stride-2 conv shape for ODD stage-input dims (e.g.
+    keep-ratio canvases); VALID-padding floor pooling crashes the residual
+    add."""
+    trunk = build_trunk(freeze_trunk_cfg(dict(type='ResNetV1d', depth=18)),
+                        dtype=jnp.float32, out_indices=(3,))
+    x = jnp.ones((1, 66, 110, 3))  # stage inputs go odd: 17x28 -> 9x14 ...
+    v = trunk.init(jax.random.PRNGKey(0), x)
+    (y,) = trunk.apply(v, x)
+    assert y.shape[0] == 1 and y.shape[-1] == 512
+    # stem stride 4 -> 17x28 (ceil), stages stride 2 -> 9x14 -> 5x7 -> 3x4
+    assert y.shape[1:3] == (3, 4)
+    # valid-count divisor: pooled edge windows must average only real
+    # pixels — constant input stays exactly constant through avg_down
+    import numpy as np
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.backbones.resnet import (
+        _avg_down_pool)
+    z = jnp.ones((1, 5, 7, 2))
+    out = _avg_down_pool(z, 2)
+    assert out.shape == (1, 3, 4, 2)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)

@@ -64,11 +64,48 @@ def _fake_mmdet_sd(variables):
     return sd
 
 
+def test_mmdet_key_golden_names():
+    """Key construction against REAL mmdet state_dict names (written from
+    `mmdet/models/backbones/resnet.py` + `two_stage.py` conventions) — the
+    synthesized-roundtrip test below cannot catch naming bugs."""
+    cases = {
+        ('backbone', 'conv1', 'kernel'): 'backbone.conv1.weight',
+        ('backbone', 'bn1', 'scale'): 'backbone.bn1.weight',
+        ('backbone', 'bn1', 'mean'): 'backbone.bn1.running_mean',
+        ('backbone', 'layer1/0', 'conv1', 'kernel'):
+            'backbone.layer1.0.conv1.weight',
+        ('backbone', 'layer2/0', 'downsample_conv', 'kernel'):
+            'backbone.layer2.0.downsample.0.weight',
+        ('backbone', 'layer2/0', 'downsample_bn', 'scale'):
+            'backbone.layer2.0.downsample.1.weight',
+        ('backbone', 'layer4/2', 'bn3', 'var'):
+            'backbone.layer4.2.bn3.running_var',
+        ('backbone', 'stem0', 'kernel'): 'backbone.stem.0.weight',
+        ('backbone', 'stem_bn1', 'scale'): 'backbone.stem.4.weight',
+        ('neck', 'lateral_2', 'kernel'): 'neck.lateral_convs.2.conv.weight',
+        ('neck', 'fpn_conv_0', 'bias'): 'neck.fpn_convs.0.conv.bias',
+        ('rpn_head', 'rpn_cls', 'kernel'): 'rpn_head.rpn_cls.weight',
+        ('bbox_head', 'shared_fc1', 'kernel'):
+            'roi_head.bbox_head.shared_fcs.0.weight',
+        ('bbox_head', 'shared_fc2', 'bias'):
+            'roi_head.bbox_head.shared_fcs.1.bias',
+        ('bbox_head', 'fc_cls', 'kernel'): 'roi_head.bbox_head.fc_cls.weight',
+    }
+    for path, want in cases.items():
+        prefix, kind = conv._mmdet_key(path)
+        got = f'{prefix}.{conv._SUFFIX[kind]}'
+        assert got == want, f'{path}: {got} != {want}'
+
+
 def test_full_tree_fills_without_missing():
     _, variables = _init_fpn()
     sd = _fake_mmdet_sd(variables)
     out, missing = conv.convert_mmdet_state(sd, variables)
     assert missing == []
+    # guard against self-consistent-but-wrong key synthesis: real mmdet
+    # block naming must appear in the synthesized dict
+    assert 'backbone.layer1.0.conv1.weight' in sd
+    assert 'backbone.layer2.0.downsample.0.weight' in sd
     # BN running stats land in batch_stats with the right values
     bn_mean = out['batch_stats']['backbone']['bn1']['mean']
     np.testing.assert_allclose(

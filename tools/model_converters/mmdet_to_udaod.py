@@ -64,17 +64,18 @@ def _mmdet_key(path: Tuple[str, ...]) -> Tuple[str, str]:
     if parts[0] == 'backbone':
         inner = parts[1:]
         if inner and inner[0].startswith('stem'):
-            # ResNetV1d deep stem: stem{i} ↔ mmdet stem.{3i}; stem_bn{i} ↔ stem.{3i+1}
-            i = int(inner[0][-1])
-            off = 0 if inner[0].startswith('stem_bn') is False else 1
+            # ResNetV1d deep stem: our stem{i}/stem_bn{i} ↔ mmdet's
+            # nn.Sequential stem: conv at index 3i, BN at 3i+1 (ReLU 3i+2)
             is_bn = inner[0].startswith('stem_bn')
+            i = int(inner[0][-1])
             prefix = f'backbone.stem.{3 * i + (1 if is_bn else 0)}'
         else:
-            name = '.'.join(inner)
+            # our flax block keys are 'layer1/0' — mmdet uses 'layer1.0'
+            name = '.'.join(inner).replace('/', '.')
             name = name.replace('downsample_conv', 'downsample.0')
             name = name.replace('downsample_bn', 'downsample.1')
             prefix = f'backbone.{name}'
-        is_bn = 'bn' in parts[-1] or 'downsample.1' in prefix
+            is_bn = 'bn' in parts[-1] or 'downsample.1' in prefix
     elif parts[0] == 'neck':
         name = parts[1]
         if name.startswith('lateral_'):

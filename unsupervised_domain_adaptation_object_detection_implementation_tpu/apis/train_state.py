@@ -173,6 +173,10 @@ def make_optimizer(spec: OptimizerSpec, params=None, frozen_stages: int = -1
         # per-group splitting (torch clips the same way: one global norm)
         chain.append(optax.clip_by_global_norm(spec.grad_clip))
 
+    if spec.paramwise and params is None:
+        import warnings
+        warnings.warn('paramwise_cfg ignored: make_optimizer needs the '
+                      'param tree to build groups')
     needs_groups = params is not None and \
         (spec.paramwise or frozen_stages >= 0)
     if needs_groups:
@@ -330,7 +334,10 @@ def create_gan_train_state(model, variables, spec_main: OptimizerSpec,
     params = variables['params']
     main, disc = split_params(params, disc_keys)
     tx_main = make_optimizer(spec_main, main, frozen_stages)
-    tx_disc = make_optimizer(spec_disc)
+    # pass disc params so paramwise_cfg (bias/norm decay mults etc.)
+    # applies to the discriminators too, matching the reference's single
+    # DefaultOptimizerConstructor over all parameters
+    tx_disc = make_optimizer(spec_disc, disc)
     state = TrainState(jnp.zeros((), jnp.int32), params,
                        variables.get('batch_stats', {}),
                        (tx_main.init(main), tx_disc.init(disc)))

@@ -150,9 +150,10 @@ def batched_nms(boxes: jnp.ndarray,
     """
     if class_agnostic:
         return nms(boxes, scores, iou_threshold, tile_size)
-    max_coord = jnp.max(jnp.abs(boxes)) + 1.0
-    offsets = idxs.astype(boxes.dtype) * (max_coord + 1.0)
-    shifted = boxes + offsets[:, None]
+    lo = jnp.min(boxes)
+    unit = jnp.max(boxes) - lo + 1.0
+    offsets = idxs.astype(boxes.dtype) * (unit + 1.0)
+    shifted = (boxes - lo) + offsets[:, None]
     return nms(shifted, scores, iou_threshold, tile_size)
 
 
@@ -221,12 +222,18 @@ def fast_nms_keep(boxes: jnp.ndarray,
     no re-admission of boxes whose suppressor was itself suppressed. One
     dense (N, N) IoU matrix, zero sequential dependencies — the most
     TPU-idiomatic NMS form."""
-    # class-offset trick: different classes never overlap
-    max_coord = jnp.max(jnp.abs(boxes)) + 1.0
-    shifted = boxes + (labels.astype(boxes.dtype) * (max_coord + 1.0))[:, None]
+    # class-offset trick: shift into per-class bands that cannot overlap
+    # (normalize to min so negative coordinates stay inside their band)
+    lo = jnp.min(boxes)
+    unit = jnp.max(boxes) - lo + 1.0
+    shifted = (boxes - lo) + (labels.astype(boxes.dtype) * (unit + 1.0))[:, None]
     from ..bbox.iou import bbox_overlaps
     iou = bbox_overlaps(shifted, shifted)                     # (N, N)
-    higher = scores[:, None] > scores[None, :]                # i beats j
+    # i beats j on score, index as the tie-break (reference fast_nms sorts
+    # then triu's, which always suppresses one of an exactly-tied pair)
+    idx = jnp.arange(scores.shape[0])
+    higher = (scores[:, None] > scores[None, :]) | \
+        ((scores[:, None] == scores[None, :]) & (idx[:, None] < idx[None, :]))
     suppressed = jnp.any((iou > iou_threshold) & higher, axis=0)
     return ~suppressed
 

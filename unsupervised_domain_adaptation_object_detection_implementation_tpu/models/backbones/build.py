@@ -93,6 +93,20 @@ def build_trunk(cfg, *, dtype, **defaults):
     if bad_user:
         warnings.warn(f'{cls.__name__}: ignoring backbone config keys '
                       f'{bad_user}')
+    # Detector-supplied geometry the target trunk cannot express is a
+    # correctness hazard, not noise: a DC5 detector (strides=(1,2,2,1),
+    # dilations=(1,1,1,2) → stride-16 features, anchor stride 16) paired
+    # with a trunk that hard-codes stride-32 stages would silently break
+    # its anchor/RoI geometry.
+    _STANDARD_GEOMETRY = {'strides': (1, 2, 2, 2), 'dilations': (1, 1, 1, 1)}
+    for k, std in _STANDARD_GEOMETRY.items():
+        v = kwargs.get(k)
+        if k not in fields and v is not None and tuple(v) != std:
+            warnings.warn(
+                f'{cls.__name__} has no `{k}` field but the detector '
+                f'requires non-standard {k}={tuple(v)} (DC5-style '
+                f'geometry); feature stride will NOT match the '
+                f"detector's anchor/RoI configuration")
     # lists from python-dict configs → hashable tuples (static jit args)
     clean = {k: tuple(v) if isinstance(v, list) else v
              for k, v in kwargs.items() if k in fields}

@@ -27,6 +27,21 @@ from ...utils.registry import BACKBONES
 from ..layers.norm import FrozenBatchNorm
 
 
+def _avg_down_pool(x, stride: int):
+    """V1d shortcut avg-pool with torch `ceil_mode=True` semantics: odd
+    dims keep a trailing window whose mean counts only VALID pixels
+    (torch excludes ceil-overhang from the divisor). Matches the main
+    path's pad-1 stride-2 conv output shape for any input size."""
+    h, w = x.shape[-3], x.shape[-2]
+    ph, pw = (-h) % stride, (-w) % stride
+    win = (stride, stride)
+    pads = ((0, ph), (0, pw))
+    summed = nn.pool(x, 0.0, jax.lax.add, win, win, pads)
+    counts = nn.pool(jnp.ones(x.shape[-3:-1] + (1,), x.dtype), 0.0,
+                     jax.lax.add, win, win, pads)
+    return summed / counts
+
+
 class Bottleneck(nn.Module):
     """1x1 → 3x3(stride/dilation[/groups]) → 1x1 with residual — 'pytorch'
     style (stride on the 3x3, reference resnet.py Bottleneck). With
@@ -68,9 +83,7 @@ class Bottleneck(nn.Module):
             identity = x
             ds_stride = self.stride
             if self.avg_down and self.stride > 1:
-                identity = nn.avg_pool(identity,
-                                       (self.stride, self.stride),
-                                       strides=(self.stride, self.stride))
+                identity = _avg_down_pool(identity, self.stride)
                 ds_stride = 1
             identity = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=(ds_stride, ds_stride),
@@ -108,9 +121,7 @@ class BasicBlock(nn.Module):
             identity = x
             ds_stride = self.stride
             if self.avg_down and self.stride > 1:
-                identity = nn.avg_pool(identity,
-                                       (self.stride, self.stride),
-                                       strides=(self.stride, self.stride))
+                identity = _avg_down_pool(identity, self.stride)
                 ds_stride = 1
             identity = nn.Conv(self.planes, (1, 1),
                                strides=(ds_stride, ds_stride),
