@@ -488,13 +488,17 @@ class GridRCNN(_TwoStageBase):
 
     def predict(self, batch):
         feats, proposals, prop_valid = self._rpn_test(batch)
+        # the grid variant trains NO reg branch (reference grid_rcnn
+        # config: bbox_head with_reg=False) — score raw proposals, then
+        # localize purely from the grid head
         out = roi_head_predict(
             self.bbox_head, feats, proposals, prop_valid,
             batch['img_shape'], self.num_classes, featmap_stride=0,
             reg_class_agnostic=False,
             target_stds=self.roi_train_cfg.target_stds,
             use_sigmoid_cls=False, cfg=self.roi_test_cfg,
-            roi_extractor=lambda f, r: extract_roi_feats_fpn(f, r))
+            roi_extractor=lambda f, r: extract_roi_feats_fpn(f, r),
+            with_reg=False)
         # refine boxes from grid point argmaxes
         det = out['dets'][..., :4]
         gfeats = extract_roi_feats_fpn(feats, det, out_size=14)

@@ -192,12 +192,16 @@ def roi_head_predict(bbox_head_apply,
                      target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2),
                      use_sigmoid_cls: bool = True,
                      cfg: RoITestConfig = RoITestConfig(),
-                     roi_extractor=None):
+                     roi_extractor=None,
+                     with_reg: bool = True):
     """Reference `StandardRoIHead.simple_test` → `multiclass_nms` flow.
 
     `bbox_head_apply`: callable (roi_feats) → (cls, reg, feat).
     `roi_extractor`: optional (feats, rois) → roi_feats override (FPN
     multi-level extraction); defaults to the single-level extractor.
+    `with_reg=False`: score the raw proposals without delta decoding —
+    the reference's `bbox_head(with_reg=False)` mode (Grid R-CNN trains
+    no reg branch; localization comes from the grid head afterwards).
     Returns dict(dets (B, max, 5), labels (B, max), valid (B, max)).
     """
     if roi_extractor is None:
@@ -218,7 +222,10 @@ def roi_head_predict(bbox_head_apply,
     scores = scores * prop_valid[..., None]
 
     b, p = proposals.shape[:2]
-    if reg_class_agnostic:
+    if not with_reg:
+        boxes = jnp.broadcast_to(proposals[:, :, None, :],
+                                 (b, p, num_classes, 4))
+    elif reg_class_agnostic:
         dec = delta2bbox(proposals, reg.reshape(b, p, 4), stds=target_stds)
         boxes = jnp.broadcast_to(dec[:, :, None, :], (b, p, num_classes, 4))
     else:
