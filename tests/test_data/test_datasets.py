@@ -215,3 +215,43 @@ def test_mosaic_mixup_via_mix_dataset():
         pipeline=mixup_pipe))
     s2 = ds2[0]
     assert s2['gt_valid'].sum() == 4   # 2 boxes from each image
+
+
+def test_resize_multiscale_modes():
+    """Multi-scale train resize (reference `Resize` multiscale_mode /
+    ratio_range, `pipelines/transforms.py:30`)."""
+    import numpy as np
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.data.pipelines.transforms import (
+        Resize)
+
+    img = (np.random.RandomState(0).rand(100, 200, 3) * 255).astype(np.uint8)
+
+    # 'value': sampled scale always one of the listed pairs
+    t = Resize(img_scale=[(128, 64), (256, 128)], multiscale_mode='value')
+    seen = set()
+    for seed in range(20):
+        r = t({'img': img.copy(), '_rng': np.random.RandomState(seed)})
+        seen.add(r['img_shape'])
+    assert seen <= {(64, 128), (128, 256)} and len(seen) == 2
+
+    # 'range': long edge lands between the two bounds
+    t = Resize(img_scale=[(100, 50), (200, 100)], multiscale_mode='range')
+    for seed in range(10):
+        r = t({'img': img.copy(), '_rng': np.random.RandomState(seed)})
+        h, w = r['img_shape']
+        assert 50 <= w <= 200 and abs(w - 2 * h) <= 1  # keep-ratio 2:1
+
+    # ratio_range jitters a single scale
+    t = Resize(img_scale=(128, 64), ratio_range=(0.5, 1.0))
+    shapes = {t({'img': img.copy(),
+                 '_rng': np.random.RandomState(s)})['img_shape']
+              for s in range(10)}
+    assert len(shapes) > 1
+    assert all(hw[1] <= 128 for hw in shapes)
+
+    # single-scale behavior unchanged (boxes scale along)
+    t = Resize(img_scale=(128, 64))
+    r = t({'img': img.copy(),
+           'gt_bboxes': np.array([[0., 0., 200., 100.]], np.float32)})
+    assert r['img_shape'] == (64, 128)
+    np.testing.assert_allclose(r['gt_bboxes'], [[0, 0, 128, 64]], atol=0.5)

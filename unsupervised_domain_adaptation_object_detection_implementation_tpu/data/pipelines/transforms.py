@@ -133,20 +133,49 @@ class Resize:
 
     `img_scale` is (long_edge, short_edge) — mmdet convention: the scale
     factor is min(long/max_side, short/min_side), never upscaling beyond it.
+
+    Multi-scale training (reference `Resize` `multiscale_mode`/
+    `ratio_range`): pass a LIST of scales with `multiscale_mode='value'`
+    (sample one) or two scales with `'range'` (sample each edge uniformly
+    between them), and/or `ratio_range=(lo, hi)` to jitter a single scale.
+    Downstream `Pad(size=...)` still defines the static compile canvas —
+    size it for the LARGEST sampled scale (Pad asserts the fit).
     """
 
-    def __init__(self, img_scale: Tuple[int, int], keep_ratio: bool = True):
+    def __init__(self, img_scale, keep_ratio: bool = True,
+                 multiscale_mode: str = 'range', ratio_range=None):
         self.img_scale = img_scale
         self.keep_ratio = keep_ratio
+        self.multiscale_mode = multiscale_mode
+        self.ratio_range = ratio_range
+
+    def _sample_scale(self, rng) -> Tuple[int, int]:
+        sc = self.img_scale
+        multi = isinstance(sc, (list, tuple)) and len(sc) > 0 and \
+            isinstance(sc[0], (list, tuple))
+        if multi:
+            if self.multiscale_mode == 'value' or len(sc) != 2:
+                sc = sc[int(rng.randint(len(sc)))]
+            else:  # 'range': sample each edge between the two bounds
+                longs = sorted(max(s) for s in sc)
+                shorts = sorted(min(s) for s in sc)
+                sc = (int(rng.randint(longs[0], longs[1] + 1)),
+                      int(rng.randint(shorts[0], shorts[1] + 1)))
+        if self.ratio_range is not None:
+            r = float(rng.uniform(*self.ratio_range))
+            sc = (int(max(sc) * r), int(min(sc) * r))
+        return tuple(sc)
 
     def __call__(self, results):
+        rng = results.get('_rng', np.random)
         h, w = results['img'].shape[:2]
-        long_edge, short_edge = max(self.img_scale), min(self.img_scale)
+        scale_hw = self._sample_scale(rng)
+        long_edge, short_edge = max(scale_hw), min(scale_hw)
         if self.keep_ratio:
             scale = min(long_edge / max(h, w), short_edge / min(h, w))
             new_w, new_h = int(w * scale + 0.5), int(h * scale + 0.5)
         else:
-            new_w, new_h = self.img_scale
+            new_w, new_h = scale_hw
         img = _imresize(results['img'], (new_w, new_h))
         w_scale = new_w / w
         h_scale = new_h / h
