@@ -131,6 +131,7 @@ def test_first_fc_permutation_is_functional():
     np.testing.assert_allclose(y_ours, y_torch, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_loaded_model_runs_predict():
     model, variables = _init_fpn()
     sd = _fake_mmdet_sd(variables)
