@@ -28,6 +28,11 @@ def main(argv=None):
     p.add_argument('checkpoint', nargs='?', default=None)
     p.add_argument('--eval', default='mAP', help='mAP | recall | bbox')
     p.add_argument('--out', default=None, help='save raw results (.pkl)')
+    p.add_argument('--show-dir', default=None,
+                   help='render detections for the first --show-n images '
+                        '(reference tools/test.py --show-dir)')
+    p.add_argument('--show-n', type=int, default=20)
+    p.add_argument('--show-score-thr', type=float, default=0.3)
     p.add_argument('--flip-tta', action='store_true')
     p.add_argument('--scale-tta', type=float, nargs='+', default=[],
                    help='extra canvas scale ratios, e.g. 0.75 1.25 '
@@ -68,6 +73,21 @@ def main(argv=None):
         with open(args.out, 'wb') as f:
             pickle.dump(results, f)
         print(f'[test] raw results saved to {args.out}')
+    if args.show_dir:
+        import os
+        from unsupervised_domain_adaptation_object_detection_implementation_tpu.apis.inference import (
+            show_result)
+        os.makedirs(args.show_dir, exist_ok=True)
+        for i in range(min(args.show_n, len(dataset))):
+            info = dataset.data_infos[i]
+            fname = info.get('filename') or info.get('file_name')
+            img_path = os.path.join(dataset.img_prefix, fname)
+            show_result(img_path, results[i], dataset.CLASSES,
+                        score_thr=args.show_score_thr,
+                        out_file=os.path.join(args.show_dir,
+                                              os.path.basename(fname)))
+        print(f'[test] wrote {min(args.show_n, len(dataset))} '
+              f'visualizations to {args.show_dir}')
     metrics = dataset.evaluate(results, metric=args.eval)
     print('metrics:', {k_: round(float(v), 4) for k_, v in metrics.items()})
 
