@@ -64,3 +64,35 @@ def test_train_and_inference(make, expect_losses):
     assert preds['dets'].shape[-1] == 5
     if isinstance(m, (HTC, MaskScoringRCNN, PointRend)):
         assert 'masks' in preds
+
+
+def test_grid_targets_decode_round_trip():
+    """Grid R-CNN invariant: argmax-decoding the training heatmap targets in
+    the same 2x-expanded roi frame recovers the gt corners (reference
+    `grid_head.py:232-237,326-333` frame conventions)."""
+    m = _make(GridRCNN, roi_train_cfg=RC)
+    gs = m.grid_size
+    rois = jnp.asarray([[[8.0, 6.0, 40.0, 30.0]]])           # (1,1,4)
+    gt = jnp.asarray([[[10.0, 8.0, 36.0, 28.0]]])
+    heat = m._grid_targets.__wrapped__(m, rois, gt) if hasattr(
+        m._grid_targets, '__wrapped__') else GridRCNN._grid_targets(
+        m, rois, gt)                                          # (1,1,G,G,9)
+    assert heat.shape == (1, 1, gs, gs, 9)
+    # every point marks a radius-1 circle (5 px, fewer only at map borders)
+    npix = jnp.sum(heat, axis=(2, 3))
+    assert bool(jnp.all(npix >= 3)) and bool(jnp.all(npix <= 5))
+    flat = heat.transpose(0, 1, 4, 2, 3).reshape(1, 1, 9, gs * gs)
+    idx = jnp.argmax(flat, axis=-1)
+    vi = (idx // gs).astype(jnp.float32) + 0.5
+    ui = (idx % gs).astype(jnp.float32) + 0.5
+    exp = GridRCNN._expand2x(rois)
+    ew = exp[..., 2] - exp[..., 0]
+    eh = exp[..., 3] - exp[..., 1]
+    px = exp[..., 0:1] + ui[0, 0][None, None] / gs * ew[..., None]
+    py = exp[..., 1:2] + vi[0, 0][None, None] / gs * eh[..., None]
+    # corners: point 0 = (x1,y1), point 8 = (x2,y2); tolerance = one cell
+    cell = float(jnp.maximum(ew, eh)[0, 0]) / gs
+    assert abs(float(px[0, 0, 0]) - 10.0) <= cell + 0.51
+    assert abs(float(py[0, 0, 0]) - 8.0) <= cell + 0.51
+    assert abs(float(px[0, 0, 8]) - 36.0) <= cell + 0.51
+    assert abs(float(py[0, 0, 8]) - 28.0) <= cell + 0.51

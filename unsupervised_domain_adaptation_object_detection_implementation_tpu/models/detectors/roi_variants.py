@@ -435,11 +435,25 @@ class GridRCNN(_TwoStageBase):
             dtype=self.dtype)
         self.grid_head = GridHead(dtype=self.dtype)
 
+    @staticmethod
+    def _expand2x(boxes):
+        """2x-expanded roi frame (reference `grid_head.py:232-237`): grid
+        targets/decodes live in this frame so gt corners of an imperfect
+        proposal still fall inside the heatmap."""
+        w = boxes[..., 2] - boxes[..., 0]
+        h = boxes[..., 3] - boxes[..., 1]
+        return jnp.stack([boxes[..., 0] - w / 2, boxes[..., 1] - h / 2,
+                          boxes[..., 2] + w / 2, boxes[..., 3] + h / 2], -1)
+
     def _grid_targets(self, rois, gt_boxes):
         """Heatmap targets: 9 grid points of the matched gt box inside the
-        (1.25x-expanded in reference; 1x here) roi frame, gaussian radius
-        1 pixel at 56x56."""
+        2x-expanded roi frame, radius-1 circle (5 px) per point — reference
+        `grid_head.py:257-281` (pos_radius=1). The reference's
+        `w <= grid_size` skip-gate is intentionally dropped: it zeroes all
+        targets for rois narrower than 56 px, which is every roi on smoke
+        canvases."""
         gs = self.grid_size
+        rois = self._expand2x(rois)
         x1, y1 = rois[..., 0], rois[..., 1]
         w = jnp.maximum(rois[..., 2] - rois[..., 0], 1e-3)
         h = jnp.maximum(rois[..., 3] - rois[..., 1], 1e-3)
@@ -458,9 +472,9 @@ class GridRCNN(_TwoStageBase):
         vi = jnp.clip(jnp.floor(v), 0, gs - 1)
         ys = jnp.arange(gs)
         xs = jnp.arange(gs)
-        heat = ((ys[None, None, None, :, None] == vi[..., None, None])
-                & (xs[None, None, None, None, :] == ui[..., None, None])
-                ).astype(jnp.float32)                         # (B,S,9,G,G)
+        d2 = (ys[None, None, None, :, None] - vi[..., None, None]) ** 2 + \
+             (xs[None, None, None, None, :] - ui[..., None, None]) ** 2
+        heat = (d2 <= 1.0).astype(jnp.float32)                # (B,S,9,G,G)
         return heat.transpose(0, 1, 3, 4, 2)                  # (B,S,G,G,9)
 
     def loss(self, batch):
@@ -481,7 +495,10 @@ class GridRCNN(_TwoStageBase):
         targets = self._grid_targets(sampled.rois, gt_m)
         pos_w = (sampled.is_pos & sampled.label_valid).astype(jnp.float32)
         bce = binary_cross_entropy(logits, targets, reduction='none')
-        losses['loss_grid'] = jnp.sum(
+        # reference grid loss_weight=15 (`grid_head.py:24-26`): without it
+        # the ~5 positive px per 56x56 map drown in the background mean and
+        # the head collapses to all-negative (argmax noise, AP 0)
+        losses['loss_grid'] = 15.0 * jnp.sum(
             jnp.mean(bce, axis=(-3, -2, -1)) * pos_w) / \
             jnp.maximum(jnp.sum(pos_w), 1.0)
         return losses
@@ -509,9 +526,12 @@ class GridRCNN(_TwoStageBase):
         idx = jnp.argmax(flat, axis=2)
         vi = (idx // gs).astype(jnp.float32) + 0.5
         ui = (idx % gs).astype(jnp.float32) + 0.5
-        x1, y1 = det[..., 0], det[..., 1]
-        w = jnp.maximum(det[..., 2] - det[..., 0], 1e-3)
-        h = jnp.maximum(det[..., 3] - det[..., 1], 1e-3)
+        # decode in the same 2x-expanded frame the targets were built in
+        # (reference `grid_head.py:326-333`)
+        exp = self._expand2x(det)
+        x1, y1 = exp[..., 0], exp[..., 1]
+        w = jnp.maximum(exp[..., 2] - exp[..., 0], 1e-3)
+        h = jnp.maximum(exp[..., 3] - exp[..., 1], 1e-3)
         px = x1[..., None] + ui / gs * w[..., None]          # (B,S,9)
         py = y1[..., None] + vi / gs * h[..., None]
         # x edges from columns {0,1,2}: left = mean of col 0 points, etc.
