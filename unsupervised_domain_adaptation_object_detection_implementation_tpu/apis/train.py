@@ -68,13 +68,28 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
     if isinstance(grad_clip, dict):
         # mmdet form: dict(max_norm=35, norm_type=2)
         grad_clip = grad_clip.get('max_norm')
+    # lr policy: mmcv names 'step' / 'CosineAnnealing' / 'YOLOX'
+    policy = str(lr_cfg.get('policy', 'step')).lower()
+    warmup_iters = lr_cfg.get('warmup_iters', 500)
+    if lr_cfg.get('warmup_by_epoch'):
+        warmup_iters = int(warmup_iters) * steps_per_epoch
+    min_lr_ratio = lr_cfg.get('min_lr_ratio')
+    if min_lr_ratio is None:
+        base_lr = opt_cfg.get('lr', 1e-3)
+        min_lr_ratio = lr_cfg.get('min_lr', 0.0) / base_lr if base_lr else 0.0
     spec = OptimizerSpec(
         lr=opt_cfg.get('lr', 1e-3),
         momentum=opt_cfg.get('momentum', 0.9),
         weight_decay=opt_cfg.get('weight_decay', 5e-4),
-        warmup_iters=lr_cfg.get('warmup_iters', 500),
+        warmup_iters=warmup_iters,
         warmup_ratio=lr_cfg.get('warmup_ratio', 1e-4),
         decay_steps=milestones,
+        policy=policy,
+        warmup=str(lr_cfg.get('warmup', 'linear') or 'constant').lower(),
+        total_steps=epochs * steps_per_epoch,
+        min_lr_ratio=float(min_lr_ratio),
+        fixed_last_steps=int(lr_cfg.get('num_last_epochs', 0))
+        * steps_per_epoch,
         grad_clip=grad_clip,
         opt_type=str(opt_cfg.get('type', 'SGD')).lower(),
         paramwise=opt_cfg.get('paramwise_cfg'))

@@ -41,6 +41,15 @@ class OptimizerSpec(NamedTuple):
     warmup_ratio: float = 1e-4
     decay_steps: Tuple[int, ...] = ()      # absolute iteration milestones
     decay_factor: float = 0.1
+    # lr policy: 'step' (mmcv StepLrUpdaterHook), 'cosine'
+    # (CosineAnnealingLrUpdaterHook) or 'yolox'
+    # (`mmdet/core/hook/yolox_lrupdater_hook.py:8` — quadratic-exp warmup,
+    # cosine anneal, then `num_last_epochs` fixed at the floor).
+    policy: str = 'step'
+    warmup: str = 'linear'                 # 'linear' | 'exp' | 'constant'
+    total_steps: int = 0                   # needed by cosine policies
+    min_lr_ratio: float = 0.0              # cosine floor as fraction of lr
+    fixed_last_steps: int = 0              # yolox: fixed-lr tail length
     grad_clip: Optional[float] = None
     # 'sgd' | 'adam' | 'adamw' — the reference's DETR-family configs use
     # AdamW (`configs/detr/detr_r50_8x2_150e_coco.py` optimizer type)
@@ -54,13 +63,52 @@ class OptimizerSpec(NamedTuple):
 
 
 def make_lr_schedule(spec: OptimizerSpec) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """mmcv LrUpdaterHook semantics as one pure fn of the iteration count.
+
+    - step: linear/exp/constant warmup × milestone decay (the reference's
+      default `lr_config=dict(policy='step', warmup='linear', …)`).
+    - cosine: `CosineAnnealingLrUpdaterHook` — anneal lr → lr·min_lr_ratio
+      over `total_steps`.
+    - yolox: `yolox_lrupdater_hook.py:8` — warmup k = ratio·((i+1)/w)²,
+      then cosine from lr to the floor over
+      (total − warmup − fixed_last_steps), then the floor held fixed.
+    """
+    policy = spec.policy.lower()
+
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
+        floor = spec.lr * spec.min_lr_ratio
+        if policy == 'yolox':
+            w = max(spec.warmup_iters, 1)
+            warm_lr = spec.lr * spec.warmup_ratio * ((step + 1) / w) ** 2
+            anneal_span = max(
+                spec.total_steps - spec.warmup_iters -
+                spec.fixed_last_steps, 1)
+            frac = jnp.clip(
+                (step + 1 - spec.warmup_iters) / anneal_span, 0.0, 1.0)
+            cos_lr = floor + 0.5 * (spec.lr - floor) * \
+                (jnp.cos(jnp.pi * frac) + 1)
+            regular = jnp.where(
+                step + 1 >= spec.total_steps - spec.fixed_last_steps,
+                floor, cos_lr)
+            return jnp.where(step < spec.warmup_iters, warm_lr, regular)
+
         if spec.warmup_iters > 0:
             warm_frac = jnp.clip(step / spec.warmup_iters, 0, 1)
-            warm = spec.warmup_ratio + (1 - spec.warmup_ratio) * warm_frac
+            if spec.warmup == 'exp':
+                # mmcv: k = warmup_ratio ** (1 - cur/warmup_iters)
+                warm = spec.warmup_ratio ** (1 - warm_frac)
+            elif spec.warmup == 'constant':
+                warm = jnp.where(warm_frac < 1.0, spec.warmup_ratio, 1.0)
+            else:
+                warm = spec.warmup_ratio + (1 - spec.warmup_ratio) * warm_frac
         else:
             warm = 1.0
+        if policy in ('cosine', 'cosineannealing'):
+            frac = jnp.clip(step / max(spec.total_steps, 1), 0.0, 1.0)
+            regular = floor + 0.5 * (spec.lr - floor) * \
+                (jnp.cos(jnp.pi * frac) + 1)
+            return warm * regular
         decay = spec.decay_factor ** jnp.sum(
             jnp.asarray([step >= m for m in spec.decay_steps], jnp.float32)) \
             if spec.decay_steps else 1.0
