@@ -1,0 +1,7 @@
+# reference configs/carafe/mask_rcnn_r50_fpn_carafe_1x_coco.py
+_base_ = [
+    '../_base_/datasets/coco_instance.py',
+    '../_base_/schedules/schedule_1x.py',
+    '../_base_/default_runtime.py',
+]
+model = dict(type='MaskRCNN', num_classes=80, neck_type='FPN_CARAFE')

@@ -1,0 +1,12 @@
+# reference configs/dcn/mask_rcnn_r50_fpn_dconv_c3-c5_1x_coco.py
+_base_ = [
+    '../_base_/datasets/coco_instance.py',
+    '../_base_/schedules/schedule_1x.py',
+    '../_base_/default_runtime.py',
+]
+model = dict(
+    type='MaskRCNN', num_classes=80,
+    backbone_cfg=dict(
+        type='ResNet', depth=50,
+        dcn=dict(type='DCN', deform_groups=1, fallback_on_stride=False),
+        stage_with_dcn=(False, True, True, True)))

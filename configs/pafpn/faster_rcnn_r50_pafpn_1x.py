@@ -1,0 +1,7 @@
+# reference configs/pafpn/faster_rcnn_r50_pafpn_1x_coco.py
+_base_ = [
+    '../_base_/datasets/coco_detection.py',
+    '../_base_/schedules/schedule_1x.py',
+    '../_base_/default_runtime.py',
+]
+model = dict(type='FasterRCNNFPN', num_classes=80, neck_type='PAFPN')

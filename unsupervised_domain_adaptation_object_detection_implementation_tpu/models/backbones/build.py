@@ -35,10 +35,37 @@ BACKBONE_ALIASES: Dict[str, Any] = {
 # config keys that only make sense for the torch reference — dropped
 # silently rather than warned about.
 _TORCH_ONLY_KEYS = frozenset({
-    'init_cfg', 'norm_cfg', 'norm_eval', 'style', 'pretrained',
-    'with_cp', 'zero_init_residual', 'conv_cfg', 'dcn', 'stage_with_dcn',
-    'plugins', 'act_cfg', 'pretrain_img_size', 'convert_weights',
+    'init_cfg', 'norm_eval', 'style', 'pretrained',
+    'with_cp', 'zero_init_residual',
+    'act_cfg', 'pretrain_img_size', 'convert_weights',
 })
+
+
+def _translate_mmdet_keys(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Map reference backbone config idioms onto this build's fields:
+    `norm_cfg=dict(type='GN')` → `norm='gn'` (configs/gn*),
+    `conv_cfg=dict(type='ConvWS')` → `conv_ws=True` (configs/gn+ws),
+    `dcn=dict(type='DCN'|'DCNv2')` → `dcn='dcn'|'dcnv2'` (configs/dcn),
+    `plugins=[dict(cfg=..., stages=..., position=...)]` passes through
+    frozen (configs/gcnet, configs/empirical_attention)."""
+    norm_cfg = cfg.pop('norm_cfg', None)
+    if norm_cfg is not None:
+        nd = dict(norm_cfg) if not isinstance(norm_cfg, dict) else norm_cfg
+        if str(nd.get('type', 'BN')).upper() == 'GN':
+            cfg.setdefault('norm', 'gn')
+    conv_cfg = cfg.pop('conv_cfg', None)
+    if conv_cfg is not None:
+        cd = dict(conv_cfg) if not isinstance(conv_cfg, dict) else conv_cfg
+        if str(cd.get('type', '')).startswith('ConvWS'):
+            cfg.setdefault('conv_ws', True)
+    dcn = cfg.pop('dcn', None)
+    if dcn is not None:
+        dd = dict(dcn) if not isinstance(dcn, dict) else dcn
+        typ = str(dd.get('type', 'DCN')).lower()
+        cfg.setdefault('dcn', 'dcnv2' if typ == 'dcnv2' else 'dcn')
+    if 'plugins' in cfg:
+        cfg['plugins'] = freeze_trunk_cfg({'p': cfg['plugins']})[0][1]
+    return cfg
 
 
 def freeze_trunk_cfg(cfg):
@@ -80,6 +107,7 @@ def build_trunk(cfg, *, dtype, **defaults):
     else:
         cfg = {k: v for k, v in _thaw(cfg).items()
                if k not in _TORCH_ONLY_KEYS}
+        cfg = _translate_mmdet_keys(cfg)
         type_name = cfg.pop('type', 'ResNet')
         reg_name, implied = BACKBONE_ALIASES.get(type_name, (type_name, {}))
         cls = BACKBONES.get(reg_name)

@@ -25,6 +25,44 @@ import jax.numpy as jnp
 
 from ...utils.registry import BACKBONES
 from ..layers.norm import FrozenBatchNorm
+from ..layers.plugins import DeformConv, WSConv, build_plugin
+
+
+def _norm(kind: str, features: int, name: str):
+    """Trunk norm selector: 'frozen_bn' (norm_eval=True semantics,
+    reference default) or 'gn' (`configs/gn/*`, `configs/gn+ws/*` —
+    norm_cfg=dict(type='GN', num_groups=32))."""
+    if kind == 'gn':
+        return nn.GroupNorm(num_groups=32, name=name)
+    return FrozenBatchNorm(features, name=name)
+
+
+def _conv(conv_ws: bool, features, kernel_size, *, dtype, name,
+          strides=(1, 1), padding='SAME', kernel_dilation=(1, 1),
+          feature_group_count=1):
+    """Conv selector: plain conv or weight-standardized conv
+    (`configs/gn+ws/*` conv_cfg=dict(type='ConvWS'))."""
+    cls = WSConv if conv_ws else nn.Conv
+    return cls(features, kernel_size, strides=strides, padding=padding,
+               kernel_dilation=kernel_dilation,
+               feature_group_count=feature_group_count,
+               use_bias=False, dtype=dtype, name=name)
+
+
+def _as_dict(cfg):
+    """Frozen tuple-of-pairs (from freeze_trunk_cfg) → dict, one level."""
+    if isinstance(cfg, tuple):
+        return dict(cfg)
+    return dict(cfg)
+
+
+def _freeze(v):
+    """Recursively hashable (flax module fields must hash for jit)."""
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    return v
 
 
 def _avg_down_pool(x, stride: int):
@@ -55,8 +93,22 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 4
     avg_down: bool = False   # V1d: avgpool shortcut (resnet.py ResNetV1d)
+    norm: str = 'frozen_bn'
+    conv_ws: bool = False
+    dcn: str = ''            # '' | 'dcn' | 'dcnv2' on conv2 (configs/dcn)
+    plugins: Tuple = ()      # ((position, frozen_cfg), ...)
     dtype: jnp.dtype = jnp.float32
     expansion: int = 4
+
+    def _apply_plugins(self, out, position: str):
+        for idx, (pos, cfg) in enumerate(self.plugins):
+            if pos != position:
+                continue
+            mod = build_plugin(_as_dict(cfg), out.shape[-1], self.dtype,
+                               f'plugin_{position}_{idx}')
+            if mod is not None:
+                out = mod(out)
+        return out
 
     @nn.compact
     def __call__(self, x):
@@ -65,32 +117,50 @@ class Bottleneck(nn.Module):
             width = self.planes
         else:
             width = int(self.planes * (self.base_width / 64)) * self.groups
-        out = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
-                      name='conv1')(x)
-        out = FrozenBatchNorm(width, name='bn1')(out)
+        out = _conv(self.conv_ws, width, (1, 1), dtype=self.dtype,
+                    name='conv1')(x)
+        out = _norm(self.norm, width, 'bn1')(out)
         out = nn.relu(out)
-        out = nn.Conv(width, (3, 3), strides=(self.stride, self.stride),
-                      kernel_dilation=(self.dilation, self.dilation),
-                      padding=[(self.dilation, self.dilation)] * 2,
-                      feature_group_count=self.groups,
-                      use_bias=False, dtype=self.dtype, name='conv2')(out)
-        out = FrozenBatchNorm(width, name='bn2')(out)
+        out = self._apply_plugins(out, 'after_conv1')
+        if self.dcn:
+            k = 27 if self.dcn == 'dcnv2' else 18
+            off = nn.Conv(k, (3, 3), strides=(self.stride, self.stride),
+                          kernel_dilation=(self.dilation, self.dilation),
+                          padding=[(self.dilation, self.dilation)] * 2,
+                          kernel_init=nn.initializers.zeros,
+                          dtype=self.dtype, name='conv2_offset')(out)
+            mask = None
+            if self.dcn == 'dcnv2':
+                off, mask = off[..., :18], jax.nn.sigmoid(off[..., 18:])
+            out = DeformConv(width, 3, strides=self.stride,
+                             dilation=self.dilation, dtype=self.dtype,
+                             name='conv2')(out, off, mask)
+        else:
+            out = _conv(self.conv_ws, width, (3, 3),
+                        strides=(self.stride, self.stride),
+                        kernel_dilation=(self.dilation, self.dilation),
+                        padding=[(self.dilation, self.dilation)] * 2,
+                        feature_group_count=self.groups,
+                        dtype=self.dtype, name='conv2')(out)
+        out = _norm(self.norm, width, 'bn2')(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      dtype=self.dtype, name='conv3')(out)
-        out = FrozenBatchNorm(self.planes * self.expansion, name='bn3')(out)
+        out = self._apply_plugins(out, 'after_conv2')
+        out = _conv(self.conv_ws, self.planes * self.expansion, (1, 1),
+                    dtype=self.dtype, name='conv3')(out)
+        out = _norm(self.norm, self.planes * self.expansion, 'bn3')(out)
+        out = self._apply_plugins(out, 'after_conv3')
         if self.downsample:
             identity = x
             ds_stride = self.stride
             if self.avg_down and self.stride > 1:
                 identity = _avg_down_pool(identity, self.stride)
                 ds_stride = 1
-            identity = nn.Conv(self.planes * self.expansion, (1, 1),
-                               strides=(ds_stride, ds_stride),
-                               use_bias=False, dtype=self.dtype,
-                               name='downsample_conv')(identity)
-            identity = FrozenBatchNorm(self.planes * self.expansion,
-                                       name='downsample_bn')(identity)
+            identity = _conv(self.conv_ws, self.planes * self.expansion,
+                             (1, 1), strides=(ds_stride, ds_stride),
+                             dtype=self.dtype,
+                             name='downsample_conv')(identity)
+            identity = _norm(self.norm, self.planes * self.expansion,
+                             'downsample_bn')(identity)
         return nn.relu(out + identity)
 
 
@@ -102,32 +172,37 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     downsample: bool = False
     avg_down: bool = False
+    norm: str = 'frozen_bn'
+    conv_ws: bool = False
     dtype: jnp.dtype = jnp.float32
     expansion: int = 1
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                      kernel_dilation=(self.dilation, self.dilation),
-                      padding=[(self.dilation, self.dilation)] * 2,
-                      use_bias=False, dtype=self.dtype, name='conv1')(x)
-        out = FrozenBatchNorm(self.planes, name='bn1')(out)
+        out = _conv(self.conv_ws, self.planes, (3, 3),
+                    strides=(self.stride, self.stride),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    padding=[(self.dilation, self.dilation)] * 2,
+                    dtype=self.dtype, name='conv1')(x)
+        out = _norm(self.norm, self.planes, 'bn1')(out)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), padding=[(1, 1)] * 2,
-                      use_bias=False, dtype=self.dtype, name='conv2')(out)
-        out = FrozenBatchNorm(self.planes, name='bn2')(out)
+        out = _conv(self.conv_ws, self.planes, (3, 3),
+                    padding=[(1, 1)] * 2, dtype=self.dtype,
+                    name='conv2')(out)
+        out = _norm(self.norm, self.planes, 'bn2')(out)
         if self.downsample:
             identity = x
             ds_stride = self.stride
             if self.avg_down and self.stride > 1:
                 identity = _avg_down_pool(identity, self.stride)
                 ds_stride = 1
-            identity = nn.Conv(self.planes, (1, 1),
-                               strides=(ds_stride, ds_stride),
-                               use_bias=False, dtype=self.dtype,
-                               name='downsample_conv')(identity)
-            identity = FrozenBatchNorm(self.planes, name='downsample_bn')(identity)
+            identity = _conv(self.conv_ws, self.planes, (1, 1),
+                             strides=(ds_stride, ds_stride),
+                             dtype=self.dtype,
+                             name='downsample_conv')(identity)
+            identity = _norm(self.norm, self.planes,
+                             'downsample_bn')(identity)
         return nn.relu(out + identity)
 
 
@@ -153,6 +228,13 @@ class ResNet(nn.Module):
     base_width: int = 4
     deep_stem: bool = False  # V1d: 3x 3x3 stem (reference ResNetV1d)
     avg_down: bool = False   # V1d: avgpool in downsample shortcuts
+    norm: str = 'frozen_bn'  # 'gn' → configs/gn*, norm_cfg=dict(type='GN')
+    conv_ws: bool = False    # configs/gn+ws, conv_cfg=dict(type='ConvWS')
+    dcn: str = ''            # 'dcn'|'dcnv2' → configs/dcn backbone option
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    # ((('cfg', frozen_cfg), ('position', ...), ('stages', ...)), ...) —
+    # the reference's `plugins=[dict(cfg=..., stages=..., position=...)]`
+    plugins: Tuple = ()
     dtype: jnp.dtype = jnp.float32
 
     def stage_channels(self) -> Tuple[int, ...]:
@@ -170,16 +252,17 @@ class ResNet(nn.Module):
             widths = (self.base_channels // 2, self.base_channels // 2,
                       self.base_channels)
             for i, w in enumerate(widths):
-                x = nn.Conv(w, (3, 3), strides=(2, 2) if i == 0 else (1, 1),
-                            padding=[(1, 1)] * 2, use_bias=False,
-                            dtype=self.dtype, name=f'stem{i}')(x)
-                x = FrozenBatchNorm(w, name=f'stem_bn{i}')(x)
+                x = _conv(self.conv_ws, w, (3, 3),
+                          strides=(2, 2) if i == 0 else (1, 1),
+                          padding=[(1, 1)] * 2, dtype=self.dtype,
+                          name=f'stem{i}')(x)
+                x = _norm(self.norm, w, f'stem_bn{i}')(x)
                 x = nn.relu(x)
         else:
-            x = nn.Conv(self.base_channels, (7, 7), strides=(2, 2),
-                        padding=[(3, 3)] * 2, use_bias=False,
-                        dtype=self.dtype, name='conv1')(x)
-            x = FrozenBatchNorm(self.base_channels, name='bn1')(x)
+            x = _conv(self.conv_ws, self.base_channels, (7, 7),
+                      strides=(2, 2), padding=[(3, 3)] * 2,
+                      dtype=self.dtype, name='conv1')(x)
+            x = _norm(self.norm, self.base_channels, 'bn1')(x)
             x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         if self.frozen_stages >= 0:
@@ -192,10 +275,23 @@ class ResNet(nn.Module):
                 first = b == 0
                 in_ch = x.shape[-1]
                 out_ch = planes * (4 if block_cls is Bottleneck else 1)
-                kwargs = dict(avg_down=self.avg_down)
+                kwargs = dict(avg_down=self.avg_down, norm=self.norm,
+                              conv_ws=self.conv_ws)
                 if block_cls is Bottleneck:
-                    kwargs.update(groups=self.groups,
-                                  base_width=self.base_width)
+                    stage_plugins = []
+                    for p in self.plugins:
+                        pd = _as_dict(p)
+                        stages = pd.get('stages')
+                        if stages is None or stages[i]:
+                            cfg = pd['cfg']
+                            stage_plugins.append(
+                                (pd.get('position', 'after_conv3'),
+                                 _freeze(cfg) if not isinstance(cfg, tuple)
+                                 else cfg))
+                    kwargs.update(
+                        groups=self.groups, base_width=self.base_width,
+                        dcn=self.dcn if self.stage_with_dcn[i] else '',
+                        plugins=tuple(stage_plugins))
                 x = block_cls(
                     planes=planes,
                     stride=self.strides[i] if first else 1,

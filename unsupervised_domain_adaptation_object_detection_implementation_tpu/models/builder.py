@@ -158,4 +158,16 @@ def build_detector(cfg: Dict[str, Any]):
             import warnings
             warnings.warn(f'{reg_name}: ignoring config keys {dropped}')
             kwargs = {k: v for k, v in kwargs.items() if k in fields}
+        # dict → NamedTuple coercion: flat configs may set sub-configs as
+        # dicts (e.g. `train_cfg=dict(loss_cls='ghm')` on RetinaNet);
+        # merge them over the field's default NamedTuple. Unknown keys
+        # raise (ValueError from _replace) — configs stay honest.
+        for f in dataclasses.fields(cls):
+            v = kwargs.get(f.name)
+            d = f.default
+            if (isinstance(v, dict) and isinstance(d, tuple)
+                    and hasattr(d, '_fields')):
+                kwargs[f.name] = d._replace(
+                    **{k: tuple(x) if isinstance(x, list) else x
+                       for k, x in v.items()})
     return cls(**kwargs)

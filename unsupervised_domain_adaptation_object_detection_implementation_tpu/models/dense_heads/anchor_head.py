@@ -68,6 +68,10 @@ class DenseAnchorTrainConfig(NamedTuple):
     focal_alpha: float = 0.25
     target_means: Tuple[float, ...] = (0., 0., 0., 0.)
     target_stds: Tuple[float, ...] = (1., 1., 1., 1.)
+    # 'focal' (RetinaNet default) | 'ghm' (GHM-C, reference configs/ghm/
+    # retinanet_ghm_r50_fpn_1x_coco.py — cls re-weighted by inverse
+    # gradient density; GHM's own total-count normalization applies)
+    loss_cls: str = 'focal'
 
 
 def dense_focal_anchor_loss(cls_logits: jnp.ndarray,
@@ -95,9 +99,13 @@ def dense_focal_anchor_loss(cls_logits: jnp.ndarray,
         neg = assign.assigned_gt_inds == 0
         labels = jnp.where(pos, assign.labels, num_classes)
         weight = (pos | neg).astype(jnp.float32)
-        cls_loss = sigmoid_focal_loss(
-            cls_i, labels, weight=weight, gamma=cfg.focal_gamma,
-            alpha=cfg.focal_alpha, reduction='sum')
+        if cfg.loss_cls == 'ghm':
+            from ..losses.focal_loss import ghm_classification_loss
+            cls_loss = ghm_classification_loss(cls_i, labels, weight > 0)
+        else:
+            cls_loss = sigmoid_focal_loss(
+                cls_i, labels, weight=weight, gamma=cfg.focal_gamma,
+                alpha=cfg.focal_alpha, reduction='sum')
         matched_gt = gt_i[jnp.clip(assign.assigned_gt_inds - 1, 0,
                                    gt_i.shape[0] - 1)]
         targets = bbox2delta(anchors, matched_gt, cfg.target_means,
@@ -110,8 +118,10 @@ def dense_focal_anchor_loss(cls_logits: jnp.ndarray,
     cls_l, reg_l, n_pos = jax.vmap(per_image)(
         cls_logits, reg_preds, gt_bboxes, gt_labels, gt_valid, img_shape)
     denom = jnp.maximum(jnp.sum(n_pos), 1.0)
-    return dict(loss_cls=jnp.sum(cls_l) / denom,
-                loss_bbox=jnp.sum(reg_l) / denom)
+    # GHM normalizes internally by valid-anchor count — mean over images
+    loss_cls = (jnp.mean(cls_l) if cfg.loss_cls == 'ghm'
+                else jnp.sum(cls_l) / denom)
+    return dict(loss_cls=loss_cls, loss_bbox=jnp.sum(reg_l) / denom)
 
 
 class DensePredictConfig(NamedTuple):

@@ -22,9 +22,11 @@ from ..dense_heads.anchor_head import flatten_level_preds
 from ..dense_heads.rpn_head import (ProposalConfig, RPNTrainConfig, rpn_loss,
                                     rpn_proposals)
 from ..necks.fpn import FPN
+from ..necks.build import make_fpn_neck
 from ..roi_heads.bbox_head import Shared2FCBBoxHead
 from ..roi_heads.standard_roi_head import (RoITestConfig, RoITrainConfig,
                                            bbox_loss, extract_roi_feats_fpn,
+                                           extract_roi_feats_groie,
                                            roi_head_predict, sample_rois)
 
 
@@ -56,6 +58,8 @@ class FasterRCNNFPN(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 50
     backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
+    neck_type: str = 'FPN'  # configs/pafpn|nas_fpn|carafe|fpg|libra_rcnn
+    roi_extractor_type: str = 'single'  # 'groie' → configs/groie
     frozen_stages: int = 1
     rpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
     rpn_train_cfg: RPNTrainConfig = RPNTrainConfig()
@@ -72,11 +76,18 @@ class FasterRCNNFPN(nn.Module):
             self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
-        self.neck = FPN(in_channels=self.backbone.stage_channels(),
-                        out_channels=256, num_outs=5, dtype=self.dtype)
+        self.neck = make_fpn_neck(
+            self.neck_type, in_channels=self.backbone.stage_channels(),
+            out_channels=256, num_outs=5, dtype=self.dtype)
         self.rpn_head = FPNRPNHead(dtype=self.dtype)
         self.bbox_head = Shared2FCBBoxHead(
             num_classes=self.num_classes, in_channels=256, dtype=self.dtype)
+
+    @property
+    def _roi_extract(self):
+        return (extract_roi_feats_groie
+                if self.roi_extractor_type == 'groie'
+                else extract_roi_feats_fpn)
 
     def _flat_rpn(self, image):
         feats = self.neck(self.backbone(image.astype(self.dtype)))
@@ -104,7 +115,7 @@ class FasterRCNNFPN(nn.Module):
                               batch['gt_labels'], batch['gt_valid'],
                               self.make_rng('sampler'), self.num_classes,
                               self.roi_train_cfg)
-        roi_feats = extract_roi_feats_fpn(feats, sampled.rois)
+        roi_feats = self._roi_extract(feats, sampled.rois)
         cls_s, reg_s, _ = self.bbox_head(roi_feats)
         losses.update(bbox_loss(cls_s, reg_s, sampled, self.num_classes,
                                 self.roi_train_cfg))
@@ -124,7 +135,7 @@ class FasterRCNNFPN(nn.Module):
             target_stds=self.roi_train_cfg.target_stds,
             use_sigmoid_cls=self.roi_train_cfg.use_sigmoid_cls,
             cfg=self.roi_test_cfg,
-            roi_extractor=lambda f, r: extract_roi_feats_fpn(f, r))
+            roi_extractor=lambda f, r: self._roi_extract(f, r))
 
     def __call__(self, batch, train: bool = True):
         if train:

@@ -23,6 +23,7 @@ from ..dense_heads.anchor_head import (DenseAnchorTrainConfig,
                                        dense_focal_anchor_loss,
                                        flatten_level_preds)
 from ..necks.fpn import FPN
+from ..necks.build import make_fpn_neck
 
 
 @HEADS.register_module()
@@ -114,6 +115,7 @@ class RetinaNet(nn.Module):
     num_classes: int = 80
     backbone_depth: int = 50
     backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
+    neck_type: str = 'FPN'  # configs/pafpn|nas_fpn|carafe|fpg|libra_rcnn
     frozen_stages: int = 1
     anchor_cfg: MultiAnchorConfig = MultiAnchorConfig()
     train_cfg: DenseAnchorTrainConfig = DenseAnchorTrainConfig()
@@ -126,9 +128,10 @@ class RetinaNet(nn.Module):
             self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
-        self.neck = FPN(in_channels=self.backbone.stage_channels(),
-                        out_channels=256, num_outs=5, start_level=1,
-                        add_extra_convs='on_input', dtype=self.dtype)
+        self.neck = make_fpn_neck(
+            self.neck_type, in_channels=self.backbone.stage_channels(),
+            out_channels=256, num_outs=5, start_level=1,
+            add_extra_convs='on_input', dtype=self.dtype)
         head_cls = RetinaSepBNHead if self.sep_bn_head else RetinaHead
         self.bbox_head = head_cls(
             num_classes=self.num_classes,
