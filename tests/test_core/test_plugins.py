@@ -144,3 +144,40 @@ def test_fpn_neck_selector_output_contract(neck_type):
     for a, b in zip(outs, outs[1:]):
         assert a.shape[-3] == 2 * b.shape[-3] or a.shape[-3] == b.shape[-3]
     assert all(np.isfinite(np.asarray(o)).all() for o in outs)
+
+
+def test_seesaw_cls_losses_and_activation():
+    """Seesaw RoI losses (configs/seesaw_loss): rare-class mitigation
+    weakens the penalty on rare negatives, activation reproduces
+    softmax(classes)·p_fg / p_bg."""
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.roi_heads.standard_roi_head import (  # noqa: E501
+        SampledRoIs, seesaw_activation, seesaw_cls_losses)
+    num_classes = 3
+    rs = np.random.RandomState(0)
+    b, s = 2, 8
+    labels = jnp.asarray(rs.randint(0, num_classes + 1, (b, s)))
+    sampled = SampledRoIs(
+        rois=jnp.zeros((b, s, 4)), labels=labels,
+        label_valid=jnp.ones((b, s), bool),
+        is_pos=labels < num_classes,
+        reg_targets=jnp.zeros((b, s, 4)),
+        matched_gt=jnp.zeros((b, s), jnp.int32))
+    cls = jnp.asarray(rs.randn(b, s, num_classes + 2), jnp.float32)
+    cum = jnp.zeros((num_classes,), jnp.float32)
+    losses, new_cum = seesaw_cls_losses(cls, sampled, num_classes, cum)
+    assert np.isfinite(float(losses['loss_cls']))
+    assert np.isfinite(float(losses['loss_cls_objectness']))
+    # cum counts exactly the foreground labels
+    fg = np.asarray(labels) < num_classes
+    want = np.bincount(np.asarray(labels)[fg], minlength=num_classes)
+    np.testing.assert_array_equal(np.asarray(new_cum), want)
+    # activation: softmax of the pseudo-logits == mmdet get_activation
+    act = jax.nn.softmax(seesaw_activation(cls, num_classes), axis=-1)
+    cls_p = jax.nn.softmax(cls[..., :num_classes], axis=-1)
+    obj_p = jax.nn.softmax(cls[..., num_classes:], axis=-1)
+    np.testing.assert_allclose(np.asarray(act[..., :num_classes]),
+                               np.asarray(cls_p * obj_p[..., :1]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(act[..., num_classes]),
+                               np.asarray(obj_p[..., 1]),
+                               rtol=1e-4, atol=1e-5)

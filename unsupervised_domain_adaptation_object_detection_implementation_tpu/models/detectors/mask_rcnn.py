@@ -30,7 +30,9 @@ from ..roi_heads.mask_head import (FCNMaskHead, mask_loss,
 from ..roi_heads.standard_roi_head import (RoITestConfig, RoITrainConfig,
                                            bbox_loss, extract_roi_feats_fpn,
                                            extract_roi_feats_groie,
-                                           roi_head_predict, sample_rois)
+                                           roi_head_predict, sample_rois,
+                                           seesaw_activation,
+                                           seesaw_cls_losses)
 from .faster_rcnn_fpn import FPNRPNHead
 
 
@@ -41,6 +43,10 @@ class MaskRCNN(nn.Module):
     backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     neck_type: str = 'FPN'  # configs/pafpn|nas_fpn|carafe|fpg|libra_rcnn
     roi_extractor_type: str = 'single'  # 'groie' → configs/groie
+    # 'softmax' (default CE) | 'seesaw' (configs/seesaw_loss: NormedLinear
+    # K+2 head, seesaw CE + objectness CE, running per-class counts kept
+    # in the batch_stats collection so the jitted train step updates them)
+    loss_cls: str = 'softmax'
     frozen_stages: int = 1
     rpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
     rpn_train_cfg: RPNTrainConfig = RPNTrainConfig()
@@ -63,9 +69,14 @@ class MaskRCNN(nn.Module):
             out_channels=256, num_outs=5, dtype=self.dtype)
         self.rpn_head = FPNRPNHead(dtype=self.dtype)
         self.bbox_head = Shared2FCBBoxHead(
-            num_classes=self.num_classes, in_channels=256, dtype=self.dtype)
+            num_classes=self.num_classes, in_channels=256,
+            seesaw=self.loss_cls == 'seesaw', dtype=self.dtype)
         self.mask_head = FCNMaskHead(num_classes=self.num_classes,
                                      dtype=self.dtype)
+        if self.loss_cls == 'seesaw':
+            self.seesaw_cum = self.variable(
+                'batch_stats', 'seesaw_cum_samples',
+                lambda: jnp.zeros((self.num_classes,), jnp.float32))
 
     @property
     def _roi_extract(self):
@@ -101,8 +112,21 @@ class MaskRCNN(nn.Module):
                               self.roi_train_cfg)
         roi_feats = self._roi_extract(feats, sampled.rois)
         cls_s, reg_s, _ = self.bbox_head(roi_feats)
-        losses.update(bbox_loss(cls_s, reg_s, sampled, self.num_classes,
-                                self.roi_train_cfg))
+        if self.loss_cls == 'seesaw':
+            # reg from the standard path; cls replaced by seesaw CE +
+            # objectness CE (grad flows only through the dict entries kept)
+            det_losses = bbox_loss(cls_s[..., :self.num_classes + 1],
+                                   reg_s, sampled, self.num_classes,
+                                   self.roi_train_cfg)
+            ss, new_cum = seesaw_cls_losses(cls_s, sampled,
+                                            self.num_classes,
+                                            self.seesaw_cum.value)
+            self.seesaw_cum.value = new_cum
+            det_losses.update(ss)
+            losses.update(det_losses)
+        else:
+            losses.update(bbox_loss(cls_s, reg_s, sampled, self.num_classes,
+                                    self.roi_train_cfg))
         # mask branch on the SAME sampled RoIs (positives weighted) — a
         # static-shape simplification of mmdet's pos-only mask forward
         mask_feats = self._roi_extract(feats, sampled.rois,
@@ -121,8 +145,15 @@ class MaskRCNN(nn.Module):
         proposals, _, prop_valid = rpn_proposals(
             cls.reshape(b, n, 1, 1), reg.reshape(b, n, 1, 4), anchors,
             batch['img_shape'], self.rpn_test_cfg)
+        if self.loss_cls == 'seesaw':
+            def bbox_head_apply(f):
+                cls, reg, feat = self.bbox_head(f)
+                return seesaw_activation(cls, self.num_classes), reg, feat
+        else:
+            bbox_head_apply = self.bbox_head
         out = roi_head_predict(
-            self.bbox_head, feats, proposals, prop_valid, batch['img_shape'],
+            bbox_head_apply, feats, proposals, prop_valid,
+            batch['img_shape'],
             self.num_classes, featmap_stride=0,
             reg_class_agnostic=False,
             target_stds=self.roi_train_cfg.target_stds,

@@ -18,27 +18,56 @@ from ...utils.registry import HEADS
 
 
 @HEADS.register_module()
+class NormedLinear(nn.Module):
+    """L2-normalized linear classifier (reference
+    `mmdet/models/utils/normed_predictor.py` NormedLinear — the seesaw
+    configs' `cls_predictor_cfg=dict(type='NormedLinear', tempearture=20)`).
+    """
+
+    features: int
+    temperature: float = 20.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        kn = kernel / (jnp.linalg.norm(kernel, axis=0, keepdims=True) + 1e-6)
+        xn = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-6)
+        return (self.temperature
+                * jnp.dot(xn, kn.astype(x.dtype)) + bias.astype(x.dtype))
+
+
 class Shared2FCBBoxHead(nn.Module):
     num_classes: int = 8
     in_channels: int = 2048
     roi_feat_size: int = 7
     fc_out_channels: int = 1024
     reg_class_agnostic: bool = False
+    # Seesaw head shape (reference `configs/seesaw_loss/*`): NormedLinear
+    # classifier with K object logits + 2 fg/bg objectness logits.
+    seesaw: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """roi_feats: (..., R, 7, 7, C) → cls (..., R, K+1),
-        reg (..., R, 4 or K*4), shared_feat (..., R, 1024)."""
+        """roi_feats: (..., R, 7, 7, C) → cls (..., R, K+1) — or
+        (..., R, K+2) seesaw layout — reg (..., R, 4 or K*4),
+        shared_feat (..., R, 1024)."""
         r_shape = roi_feats.shape[:-3]
         flat = roi_feats.reshape(*r_shape, -1)
         x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
                              name='shared_fc1')(flat))
         x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
                              name='shared_fc2')(x))
-        cls = nn.Dense(self.num_classes + 1, dtype=self.dtype,
-                       name='fc_cls')(x)
+        if self.seesaw:
+            cls = NormedLinear(self.num_classes + 2, dtype=self.dtype,
+                               name='fc_cls')(x)
+        else:
+            cls = nn.Dense(self.num_classes + 1, dtype=self.dtype,
+                           name='fc_cls')(x)
         reg_dim = 4 if self.reg_class_agnostic else 4 * self.num_classes
         reg = nn.Dense(reg_dim, dtype=self.dtype, name='fc_reg')(x)
         return cls, reg, x

@@ -181,6 +181,62 @@ def extract_roi_feats_fpn(feats, rois: jnp.ndarray,
     return out
 
 
+def seesaw_cls_losses(cls_scores: jnp.ndarray,
+                      sampled: 'SampledRoIs',
+                      num_classes: int,
+                      cum_samples: jnp.ndarray,
+                      loss_weight_mask: jnp.ndarray = None):
+    """Seesaw RoI classification (reference `mmdet/models/losses/
+    seesaw_loss.py` SeesawLoss.forward): the (K+2)-logit head splits into
+    K object-class logits (seesaw CE over foreground samples) and 2
+    fg/bg objectness logits (plain CE over all samples). `cum_samples`
+    is the running per-class positive count — accumulated batch-first
+    like the reference's buffer. Returns (losses, new_cum_samples)."""
+    b, s = sampled.labels.shape
+    w_img = jnp.ones((b,), jnp.float32) if loss_weight_mask is None \
+        else loss_weight_mask.astype(jnp.float32)
+    valid = sampled.label_valid.astype(jnp.float32) * w_img[:, None]
+    labels = sampled.labels
+    fg = (labels < num_classes).astype(jnp.float32) * valid
+
+    flat_cls = cls_scores[..., :num_classes].reshape(
+        b * s, num_classes).astype(jnp.float32)
+    flat_obj = cls_scores[..., num_classes:].reshape(
+        b * s, 2).astype(jnp.float32)
+    flat_lbl = jnp.clip(labels.reshape(-1), 0, num_classes - 1)
+    flat_fg = fg.reshape(-1)
+
+    hist = jnp.sum(jax.nn.one_hot(flat_lbl, num_classes)
+                   * flat_fg[:, None], axis=0)
+    new_cum = cum_samples + hist
+
+    from ..losses.extra_losses import seesaw_ce_loss
+    per = seesaw_ce_loss(flat_cls, flat_lbl, new_cum)
+    loss_cls = jnp.sum(per * flat_fg) / jnp.maximum(jnp.sum(flat_fg), 1.0)
+
+    obj_lbl = (labels >= num_classes).astype(jnp.int32).reshape(-1)  # 1 = bg
+    logp = jax.nn.log_softmax(flat_obj, axis=-1)
+    obj_ce = -jnp.take_along_axis(logp, obj_lbl[:, None], axis=1)[:, 0]
+    flat_valid = valid.reshape(-1)
+    loss_obj = (jnp.sum(obj_ce * flat_valid)
+                / jnp.maximum(jnp.sum(flat_valid), 1.0))
+    return dict(loss_cls=loss_cls, loss_cls_objectness=loss_obj), new_cum
+
+
+def seesaw_activation(cls_scores: jnp.ndarray, num_classes: int
+                      ) -> jnp.ndarray:
+    """(..., K+2) seesaw logits → (..., K+1) pseudo-logits whose softmax
+    reproduces SeesawLoss.get_activation: per-class scores =
+    softmax(classes)·p_fg, background = p_bg."""
+    cls_p = jax.nn.softmax(cls_scores[..., :num_classes].astype(jnp.float32),
+                           axis=-1)
+    obj_p = jax.nn.softmax(cls_scores[..., num_classes:].astype(jnp.float32),
+                           axis=-1)
+    scores = jnp.concatenate([cls_p * obj_p[..., :1], obj_p[..., 1:]],
+                             axis=-1)
+    return jnp.log(scores + 1e-12).astype(cls_scores.dtype)
+
+
 def roi_head_predict(bbox_head_apply,
                      feats,
                      proposals: jnp.ndarray,
