@@ -41,8 +41,24 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
     os.makedirs(work_dir, exist_ok=True)
     log_path = os.path.join(work_dir, 'train_log.jsonl')
 
-    model = build_detector(cfg.model)
+    # reference `fp16 = dict(loss_scale=…)` config block → bf16 compute
+    # path (no loss scaling needed: bf16 shares fp32's exponent range)
+    model_cfg = dict(cfg.model)
+    if cfg.get('fp16') is not None and 'dtype' not in model_cfg:
+        import jax.numpy as jnp
+        model_cfg['dtype'] = jnp.bfloat16
+    model = build_detector(model_cfg)
     train_ds = build_dataset(cfg.data['train'])
+    # reference NumClassCheckHook: the head's num_classes must match the
+    # dataset's CLASSES (a silent mismatch trains a wrong-width head)
+    ds_classes = getattr(train_ds, 'CLASSES', None)
+    model_nc = getattr(model, 'num_classes', None)
+    if ds_classes and model_nc is not None and len(ds_classes) != model_nc:
+        import warnings
+        warnings.warn(
+            f'model.num_classes={model_nc} != len(dataset.CLASSES)='
+            f'{len(ds_classes)} ({ds_classes[:5]}…) — check the config '
+            f'(reference NumClassCheckHook)')
     samples_per_batch = cfg.data.get('samples_per_gpu', 2)
     mesh = make_mesh(n_devices)
     n_dev = mesh.devices.size

@@ -142,6 +142,10 @@ def build_detector(cfg: Dict[str, Any]):
     else:
         kwargs = cfg
     kwargs.update(extra)
+    if isinstance(kwargs.get('dtype'), str):
+        # `--cfg-options model.dtype=bfloat16` CLI override
+        import jax.numpy as jnp
+        kwargs['dtype'] = jnp.dtype(kwargs['dtype'])
     if isinstance(kwargs.get('backbone_cfg'), dict):
         # Flax module fields must be hashable for jit static-arg caching
         from .backbones.build import freeze_trunk_cfg
