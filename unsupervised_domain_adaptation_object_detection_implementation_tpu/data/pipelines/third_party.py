@@ -27,14 +27,26 @@ class Albu:
     def __init__(self, transforms: List[dict],
                  bbox_params: Optional[dict] = None,
                  keymap: Optional[Dict[str, str]] = None,
-                 skip_img_without_anno: bool = False):
+                 skip_img_without_anno: bool = False,
+                 require_albu: bool = False):
         try:
             import albumentations as A
-        except ImportError as e:  # pragma: no cover - env without albu
-            raise ImportError(
-                'Albu pipeline requires the `albumentations` package '
-                '(not bundled in this image); install it or drop the Albu '
-                'stage from the config') from e
+        except ImportError as e:
+            if require_albu:
+                raise ImportError(
+                    'Albu pipeline requires the `albumentations` package '
+                    '(not bundled in this image); install it or drop the '
+                    'Albu stage from the config') from e
+            # degrade to identity so reference albu configs stay runnable
+            # (the augmentation is an optional extra, not a correctness
+            # dependency); require_albu=True restores the hard gate
+            import warnings
+            warnings.warn('albumentations not installed — Albu pipeline '
+                          'stage is a no-op')
+            self._A = None
+            self.aug = None
+            self.skip_img_without_anno = skip_img_without_anno
+            return
         self._A = A
         self.skip_img_without_anno = skip_img_without_anno
         self.keymap = keymap or {'img': 'image', 'gt_bboxes': 'bboxes'}
@@ -55,6 +67,8 @@ class Albu:
         return cls(**cfg)
 
     def __call__(self, results: dict) -> Optional[dict]:
+        if self.aug is None:          # albumentations absent → identity
+            return results
         labels = results.get('gt_labels')
         data = dict(image=results['img'])
         if 'gt_bboxes' in results:
