@@ -153,3 +153,25 @@ class TestPackFullMasks:
         del r['gt_masks']
         out = PackDetInputs(max_gt=4, with_full_masks=True)(r)
         assert out['gt_masks_full'][0, 2:10, 4:12].all()
+
+
+def test_albu_identity_fallback_without_albumentations():
+    """Albu degrades to a warned no-op when albumentations is missing
+    (keeps configs/albu_example runnable in minimal images)."""
+    import importlib
+    import warnings
+    import numpy as np
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.data.pipelines.third_party import (  # noqa: E501
+        Albu)
+    try:
+        importlib.import_module('albumentations')
+        import pytest
+        pytest.skip('albumentations installed — fallback path inactive')
+    except ImportError:
+        pass
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter('always')
+        a = Albu([dict(type='ShiftScaleRotate', p=0.5)])
+    assert any('no-op' in str(w.message) for w in rec)
+    results = dict(img=np.zeros((4, 4, 3), np.uint8))
+    assert a(results) is results
