@@ -121,3 +121,42 @@ def test_v1d_avg_down_odd_dims():
     out = _avg_down_pool(z, 2)
     assert out.shape == (1, 3, 4, 2)
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
+
+@pytest.mark.parametrize('det,extra', [
+    ('FasterRCNNFPN', dict(neck_type='PAFPN', roi_extractor_type='groie')),
+    ('FasterRCNNFPN', dict(
+        neck_type='BFP',
+        backbone_cfg=dict(type='ResNet', depth=18,
+                          conv_cfg=dict(type='ConvWS'),
+                          norm_cfg=dict(type='GN', num_groups=32)))),
+    ('FasterRCNNFPN', dict(
+        backbone_cfg=dict(type='ResNet', depth=50,
+                          dcn=dict(type='DCNv2'),
+                          stage_with_dcn=(False, True, True, True)))),
+    ('MaskRCNN', dict(loss_cls='seesaw')),
+    ('MaskRCNN', dict(
+        backbone_cfg=dict(
+            type='ResNet', depth=50,
+            plugins=[dict(cfg=dict(type='ContextBlock', ratio=0.25),
+                          stages=(False, True, True, True),
+                          position='after_conv3')]))),
+    ('RetinaNet', dict(neck_type='NASFPN', train_cfg=dict(loss_cls='ghm'))),
+    ('RetinaNet', dict(
+        backbone_cfg=dict(
+            type='ResNet', depth=50,
+            plugins=[dict(cfg=dict(type='GeneralizedAttention',
+                                   num_heads=8, attention_type='0010',
+                                   kv_stride=2),
+                          stages=(False, False, True, True),
+                          position='after_conv2')]))),
+])
+def test_round2_trunk_neck_loss_options_build(det, extra):
+    """Round-2 config surface (dcn/gcnet/empirical_attention/gn+ws/pafpn/
+    nas_fpn/libra/groie/ghm/seesaw families) constructs and shape-checks
+    through the builder without compiling."""
+    model = build_detector(dict(type=det, num_classes=3, **extra))
+    batch = _batch()
+    if det == 'MaskRCNN':
+        batch = dict(batch, gt_masks=jnp.zeros((1, 4, 64, 64)))
+    assert _n_params(model, batch) > 1e6
