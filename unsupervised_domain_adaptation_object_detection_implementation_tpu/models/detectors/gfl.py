@@ -82,6 +82,10 @@ class GFL(nn.Module):
     backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    # reference anchor_generator octave_base_scale (gfl_r50_fpn_1x_coco.py
+    # uses 8 with one scale per octave); tune per-dataset with
+    # tools/analysis_tools/optimize_anchors.py
+    anchor_scale: float = 8.0
     reg_max: int = 16
     topk: int = 9
     test_cfg: DensePredictConfig = DensePredictConfig()
@@ -103,7 +107,7 @@ class GFL(nn.Module):
         cls_lv, reg_lv = self.bbox_head(feats)
         sizes = [(f.shape[-3], f.shape[-2]) for f in feats]
         gen = AnchorGenerator(strides=list(self.strides), ratios=[1.0],
-                              scales=[8])
+                              scales=[self.anchor_scale])
         levels = gen.grid_priors(sizes)
         nla = tuple(a.shape[0] for a in levels)
         anchors = jnp.asarray(np.concatenate(levels, axis=0))
