@@ -81,7 +81,7 @@ def roi_align(feat: jnp.ndarray,
               out_size: int = 7,
               sampling_ratio: int = 2,
               aligned: bool = True,
-              roi_chunk: int = 64) -> jnp.ndarray:
+              roi_chunk: int = 16) -> jnp.ndarray:
     """Single-image RoIAlign.
 
     Args:
@@ -139,7 +139,7 @@ def roi_align(feat: jnp.ndarray,
 def batched_roi_align(feats: jnp.ndarray, rois: jnp.ndarray,
                       spatial_scale: float, out_size: int = 7,
                       sampling_ratio: int = 2, aligned: bool = True,
-                      roi_chunk: int = 64) -> jnp.ndarray:
+                      roi_chunk: int = 16) -> jnp.ndarray:
     """vmapped over a leading batch axis: (B,H,W,C) x (B,R,4) → (B,R,o,o,C)."""
     return jax.vmap(
         lambda f, r: roi_align(f, r, spatial_scale, out_size, sampling_ratio,
