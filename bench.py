@@ -122,7 +122,7 @@ def main():
     state, tx = create_train_state(model, variables, OptimizerSpec(),
                                    frozen_stages=1)
     step = jax.jit(make_train_step(model, tx), donate_argnums=0)
-    rng = jax.random.PRNGKey(1)
+    rng = jax.random.key(1, impl='rbg')  # train.py's default step-rng impl
 
     # FLOPs of the compiled step (for MFU) — `get_flops.py` uses the same
     # cost_analysis path

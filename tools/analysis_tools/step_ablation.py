@@ -132,7 +132,49 @@ def main():
     finally:
         dafr_mod.rpn_proposals = real_props
 
-    # 5. forward-only (no grad/optimizer): loss value but no backward
+    # 5. dropout -> identity (isolates PRNG+mask cost of the p=.5 dropouts
+    # on the DA heads' feature maps)
+    import flax.linen as fnn
+    real_dropout_call = fnn.Dropout.__call__
+
+    def no_dropout(self, x, deterministic=None, rng=None):
+        return x
+
+    fnn.Dropout.__call__ = no_dropout
+    try:
+        model6, state6, tx6 = build()
+        step6 = jax.jit(make_train_step(model6, tx6), donate_argnums=0)
+        results['no_dropout'] = timeit(step6, state6)
+        print(f'dropout stubbed:        {results["no_dropout"]*1e3:8.2f} ms '
+              f'(delta {1e3*(results["full"]-results["no_dropout"]):+.2f})',
+              flush=True)
+    finally:
+        fnn.Dropout.__call__ = real_dropout_call
+
+    # 6. rbg PRNG keys (threefry is compute-heavy on TPU; rbg is the
+    # documented fast path for dropout-style usage)
+    model7, state7, tx7 = build()
+    step7 = jax.jit(make_train_step(model7, tx7), donate_argnums=0)
+    rbg_rng = jax.random.key(1, impl='rbg')
+    s = state7
+    try:
+        s, m = step7(s, batch, rbg_rng)
+        float(jax.device_get(m['loss']))
+        for _ in range(2):
+            s, m = step7(s, batch, rbg_rng)
+        float(jax.device_get(m['loss']))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            s, m = step7(s, batch, rbg_rng)
+        float(jax.device_get(m['loss']))
+        results['rbg'] = (time.perf_counter() - t0) / args.iters
+        print(f'rbg PRNG:               {results["rbg"]*1e3:8.2f} ms '
+              f'(delta {1e3*(results["full"]-results["rbg"]):+.2f})',
+              flush=True)
+    except Exception as e:
+        print(f'rbg PRNG: failed ({type(e).__name__}: {e})', flush=True)
+
+    # 7. forward-only (no grad/optimizer): loss value but no backward
     model5, state5, _ = build()
 
     def fwd_only(state, batch, rng):
