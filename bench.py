@@ -23,7 +23,8 @@ import numpy as np
 
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__),
                               '.bench_baseline.json')
-H, W, BATCH = 512, 1024, 8
+H, W = 512, 1024
+BATCH = int(os.environ.get('BENCH_BATCH', 8))  # protocol default: 8
 
 
 def measure_torch_cpu_baseline(max_iters: int = 3) -> float:

@@ -79,6 +79,31 @@ def test_roi_align_batched_and_grad():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_roi_align_flatten_matches_5d():
+    """flatten=True must equal reshape(flatten=False) in value AND grad —
+    it only moves the repack into the scan body."""
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(2, 8, 12, 6), jnp.float32)
+    rois = jnp.asarray(rng.rand(2, 5, 2, 2).cumsum(2).reshape(2, 5, 4)
+                       * 16, jnp.float32)
+    full = batched_roi_align(feat, rois, 1 / 4, out_size=7, roi_chunk=2)
+    flat = batched_roi_align(feat, rois, 1 / 4, out_size=7, roi_chunk=2,
+                             flatten=True)
+    assert flat.shape == (2, 5, 7 * 7 * 6)
+    np.testing.assert_allclose(np.asarray(flat),
+                               np.asarray(full).reshape(2, 5, -1),
+                               atol=1e-6)
+    w = jnp.asarray(rng.randn(2, 5, 7, 7, 6), jnp.float32)
+    g_full = jax.grad(lambda x: jnp.sum(
+        batched_roi_align(x, rois, 1 / 4, out_size=7, roi_chunk=2)
+        * w))(feat)
+    g_flat = jax.grad(lambda x: jnp.sum(
+        batched_roi_align(x, rois, 1 / 4, out_size=7, roi_chunk=2,
+                          flatten=True) * w.reshape(2, 5, -1)))(feat)
+    np.testing.assert_allclose(np.asarray(g_flat), np.asarray(g_full),
+                               atol=1e-5)
+
+
 def test_gradient_reverse():
     def f(x):
         return jnp.sum(gradient_reverse(x, -1.0)**1) * 3.0

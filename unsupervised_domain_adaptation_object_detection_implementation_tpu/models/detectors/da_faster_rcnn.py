@@ -122,7 +122,8 @@ class DAFasterRCNN(nn.Module):
                               batch['gt_labels'], batch['gt_valid'],
                               self.make_rng('sampler'), self.num_classes,
                               self.roi_train_cfg)
-        roi_feats = extract_roi_feats(feat, sampled.rois, self.featmap_stride)
+        roi_feats = extract_roi_feats(feat, sampled.rois, self.featmap_stride,
+                                      flatten=True)
         cls, reg, shared_feat = self.bbox_head(roi_feats)
         losses.update(bbox_loss(cls, reg, sampled, self.num_classes,
                                 self.roi_train_cfg,

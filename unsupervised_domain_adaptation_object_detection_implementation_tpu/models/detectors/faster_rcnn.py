@@ -102,7 +102,8 @@ class FasterRCNN(nn.Module):
         sampled = sample_rois(proposals, prop_valid, batch['gt_bboxes'],
                               batch['gt_labels'], batch['gt_valid'], rng_roi,
                               self.num_classes, self.roi_train_cfg)
-        roi_feats = extract_roi_feats(feat, sampled.rois, self.featmap_stride)
+        roi_feats = extract_roi_feats(feat, sampled.rois, self.featmap_stride,
+                                      flatten=True)
         cls, reg, shared_feat = self.bbox_head(roi_feats)
         losses.update(bbox_loss(cls, reg, sampled, self.num_classes,
                                 self.roi_train_cfg, loss_weight_mask))

@@ -53,11 +53,14 @@ class Shared2FCBBoxHead(nn.Module):
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """roi_feats: (..., R, 7, 7, C) → cls (..., R, K+1) — or
+        """roi_feats: (..., R, 7, 7, C) — or pre-flattened (..., R, 7·7·C)
+        from `extract_roi_feats(flatten=True)` — → cls (..., R, K+1) — or
         (..., R, K+2) seesaw layout — reg (..., R, 4 or K*4),
         shared_feat (..., R, 1024)."""
-        r_shape = roi_feats.shape[:-3]
-        flat = roi_feats.reshape(*r_shape, -1)
+        if roi_feats.ndim >= 4:          # (..., o, o, C): flatten last 3
+            flat = roi_feats.reshape(*roi_feats.shape[:-3], -1)
+        else:                            # already (..., o·o·C)
+            flat = roi_feats
         x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
                              name='shared_fc1')(flat))
         x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,

@@ -147,10 +147,16 @@ def bbox_loss(cls_scores: jnp.ndarray,
 
 def extract_roi_feats(feats: jnp.ndarray, rois: jnp.ndarray,
                       featmap_stride: int = 16, out_size: int = 7,
-                      sampling_ratio: int = 2) -> jnp.ndarray:
-    """`SingleRoIExtractor` equivalent for the single-level DC5 trunk."""
+                      sampling_ratio: int = 2,
+                      flatten: bool = False) -> jnp.ndarray:
+    """`SingleRoIExtractor` equivalent for the single-level DC5 trunk.
+
+    `flatten=True` returns (B, R, o·o·C) with the repack fused into the
+    RoIAlign scan (saves two ~800 MB HBM copies per step; see
+    `ops/roi_align.py:batched_roi_align`) — use when feeding an FC head.
+    """
     return batched_roi_align(feats, rois, 1.0 / featmap_stride, out_size,
-                             sampling_ratio)
+                             sampling_ratio, flatten=flatten)
 
 
 def extract_roi_feats_fpn(feats, rois: jnp.ndarray,
@@ -261,7 +267,8 @@ def roi_head_predict(bbox_head_apply,
     Returns dict(dets (B, max, 5), labels (B, max), valid (B, max)).
     """
     if roi_extractor is None:
-        roi_feats = extract_roi_feats(feats, proposals, featmap_stride)
+        roi_feats = extract_roi_feats(feats, proposals, featmap_stride,
+                                      flatten=True)
     else:
         roi_feats = roi_extractor(feats, proposals)
     cls, reg, _ = bbox_head_apply(roi_feats)

@@ -156,7 +156,8 @@ def _roi_weights(rois, spatial_scale, out_size, sampling_ratio, aligned,
 def batched_roi_align(feats: jnp.ndarray, rois: jnp.ndarray,
                       spatial_scale: float, out_size: int = 7,
                       sampling_ratio: int = 2, aligned: bool = True,
-                      roi_chunk: int = 32) -> jnp.ndarray:
+                      roi_chunk: int = 32,
+                      flatten: bool = False) -> jnp.ndarray:
     """Batched RoIAlign: (B,H,W,C) x (B,R,4) → (B,R,o,o,C).
 
     NOT vmap(roi_align): one flat scan over image-major RoI chunks. With
@@ -165,6 +166,13 @@ def batched_roi_align(feats: jnp.ndarray, rois: jnp.ndarray,
     per step at the flagship bench shapes (measured in xprof, ~8 ms). With
     image-major iteration order the stacked (B·chunks, chunk, o, o, C) ys
     reshape to (B, R, o, o, C) with zero data movement.
+
+    `flatten=True` returns (B, R, o·o·C) instead, with the flatten done
+    INSIDE the scan body: the (…, o, o, C) form is tile-padded in HBM
+    (o=7 rounds up to 8 sublanes), so flattening it later is a real
+    ~800 MB repack (xprof: 2.8 ms fwd + 2.8 ms bwd at bench shapes);
+    per-chunk the repack happens in VMEM as part of the einsum's output
+    write. Use for consumers that want the flat form (Shared2FC head).
     """
     b, h, w, c = feats.shape
     n = rois.shape[1]
@@ -189,7 +197,12 @@ def batched_roi_align(feats: jnp.ndarray, rois: jnp.ndarray,
                        preferred_element_type=jnp.float32).astype(feats.dtype)
         out = jnp.einsum('roh,rhpc->ropc', wy_c.astype(feats.dtype), t,
                          preferred_element_type=jnp.float32)
-        return carry, out.astype(feats.dtype)
+        out = out.astype(feats.dtype)
+        if flatten:
+            out = out.reshape(chunk, out_size * out_size * c)
+        return carry, out
 
     _, out = jax.lax.scan(one_chunk, 0, (img_idx, wy_ch, wx_ch))
+    if flatten:
+        return out.reshape(b, n_pad, out_size * out_size * c)[:, :n]
     return out.reshape(b, n_pad, out_size, out_size, c)[:, :n]
