@@ -66,3 +66,22 @@ def test_yolox_policy():
     # monotone non-increasing after warmup
     vals = [_lr(spec, s) for s in range(50, 1000, 25)]
     assert all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+def test_resolve_runner_epoch_vs_iter():
+    """IterBasedRunner milestones stay in iters; epoch milestones scale by
+    steps_per_epoch (reference retinanet_r50_fpn_90k_coco.py:12)."""
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.apis.train import (  # noqa: E501
+        resolve_runner)
+    it, ep, mi, ms = resolve_runner(
+        dict(type='EpochBasedRunner', max_epochs=12),
+        dict(step=[8, 11]), steps_per_epoch=100)
+    assert (it, ep, mi, ms) == (False, 12, None, (800, 1100))
+    it, ep, mi, ms = resolve_runner(
+        dict(type='IterBasedRunner', max_iters=90000),
+        dict(step=[60000, 80000]), steps_per_epoch=100)
+    assert (it, mi, ms) == (True, 90000, (60000, 80000))
+    assert ep == 900
+    # max_epochs CLI override only applies to the epoch-based runner
+    it, ep, mi, ms = resolve_runner({}, {}, 50, max_epochs=3)
+    assert (it, ep, mi, ms) == (False, 3, None, ())

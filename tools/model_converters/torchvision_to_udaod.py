@@ -16,20 +16,42 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
 from unsupervised_domain_adaptation_object_detection_implementation_tpu.utils.checkpoint import (  # noqa: E402
-    convert_torch_resnet)
+    convert_pycls_regnet, convert_torch_resnet)
+
+
+def strip_selfsup_prefixes(sd, mode):
+    """Self-supervised checkpoints wrap the resnet in an encoder module
+    (reference `tools/model_converters/selfsup2mmdet.py`): MoCo keys are
+    `module.encoder_q.<resnet key>`; SwAV keys are already plain (the
+    reference converter is a no-op for swav). Returns torchvision-style
+    keys, dropping the projection/fc head."""
+    if mode == 'moco':
+        sd = {k[len('module.encoder_q.'):]: v for k, v in sd.items()
+              if k.startswith('module.encoder_q.')}
+    return {k: v for k, v in sd.items() if not k.startswith('fc.')}
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('torch_ckpt', help='.pth state_dict (torchvision resnet)')
     p.add_argument('out', help='output .npz')
+    p.add_argument('--selfsup', choices=['moco', 'swav'],
+                   help='unwrap a self-supervised encoder checkpoint '
+                        '(reference selfsup2mmdet.py) before converting')
     args = p.parse_args()
     import torch
     sd = torch.load(args.torch_ckpt, map_location='cpu')
     if 'state_dict' in sd:
         sd = sd['state_dict']
+    if 'model_state' in sd:        # pycls checkpoint wrapper
+        sd = sd['model_state']
+    if args.selfsup:
+        sd = strip_selfsup_prefixes(sd, args.selfsup)
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, 'numpy')}
-    tree = convert_torch_resnet(sd)
+    if any(k.startswith('stem.') for k in sd):     # pycls RegNet naming
+        tree = convert_pycls_regnet(sd)            # regnet2mmdet.py role
+    else:
+        tree = convert_torch_resnet(sd)
 
     flat = {}
 

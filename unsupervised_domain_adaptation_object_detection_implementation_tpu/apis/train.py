@@ -29,6 +29,33 @@ def init_random_seed(seed: Optional[int]) -> int:
     return int(seed) if seed is not None else int(time.time()) % 2**31
 
 
+def resolve_runner(runner_cfg, lr_cfg, steps_per_epoch: int,
+                   max_epochs: Optional[int] = None):
+    """Resolve the runner block into loop bounds + step-unit lr milestones.
+
+    EpochBasedRunner (default): `max_epochs` epochs, `lr_config.step` in
+    EPOCHS. IterBasedRunner (reference
+    `configs/retinanet/retinanet_r50_fpn_90k_coco.py:12`): `max_iters`
+    optimizer steps, `lr_config.step` (and eval/checkpoint intervals,
+    handled by the loop) in ITERS.
+
+    Returns (iter_based, epochs, max_iters_or_None, milestones).
+    """
+    iter_based = 'Iter' in str(runner_cfg.get('type', ''))
+    if iter_based:
+        max_iters = int(runner_cfg.get('max_iters', 90000))
+        epochs = -(-max_iters // max(steps_per_epoch, 1))
+    else:
+        max_iters = None
+        epochs = max_epochs or runner_cfg.get('max_epochs', 12)
+    step_cfg = lr_cfg.get('step', [])
+    if isinstance(step_cfg, (int, float)):
+        step_cfg = [step_cfg]
+    milestones = tuple(int(m) * (1 if iter_based else steps_per_epoch)
+                       for m in step_cfg)
+    return iter_based, epochs, max_iters, milestones
+
+
 def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
                    load_from: Optional[str] = None,
                    pretrained_backbone: Optional[str] = None,
@@ -73,12 +100,9 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
         'interval', eval_interval)
     checkpoint_interval = (cfg.get('checkpoint_config', {}) or {}).get(
         'interval', checkpoint_interval)
-    epochs = max_epochs or runner_cfg.get('max_epochs', 12)
     steps_per_epoch = len(loader)
-    step_cfg = lr_cfg.get('step', [])
-    if isinstance(step_cfg, (int, float)):
-        step_cfg = [step_cfg]
-    milestones = tuple(int(m) * steps_per_epoch for m in step_cfg)
+    iter_based, epochs, max_iters, milestones = resolve_runner(
+        runner_cfg, lr_cfg, steps_per_epoch, max_epochs)
     grad_clip = (cfg.get('optimizer_config', {}) or {}).get(
         'grad_clip', None)
     if isinstance(grad_clip, dict):
@@ -102,7 +126,7 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
         decay_steps=milestones,
         policy=policy,
         warmup=str(lr_cfg.get('warmup', 'linear') or 'constant').lower(),
-        total_steps=epochs * steps_per_epoch,
+        total_steps=max_iters or epochs * steps_per_epoch,
         min_lr_ratio=float(min_lr_ratio),
         fixed_last_steps=int(lr_cfg.get('num_last_epochs', 0))
         * steps_per_epoch,
@@ -190,6 +214,36 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
         for hook in (cfg.get('custom_hooks', []) or []):
             if 'ModeSwitch' in str(hook.get('type', '')):
                 switch_at = epochs - hook.get('num_last_epochs', 15)
+        def do_ckpt(tag: int):
+            save_checkpoint(
+                os.path.join(work_dir, f'ckpt_{tag}'),
+                jax.device_get(state),
+                meta=dict(epoch=tag, classes=list(
+                    getattr(train_ds, 'CLASSES', []))))
+
+        def do_eval(tag_key: str, tag: int):
+            nonlocal metrics_out
+            if not hasattr(train_detector, '_val_cache') or \
+                    train_detector._val_cache[0] is not cfg:
+                train_detector._val_cache = (
+                    cfg, build_dataset(cfg.data['val']))
+            val_ds = train_detector._val_cache[1]
+            # evaluate with EMA weights when tracking them (EMAHook
+            # swaps model↔ema around eval the same way)
+            eval_params = state.ema_params if state.ema_params is not None \
+                else state.params
+            metrics_out = evaluate_dataset(
+                model, {'params': eval_params,
+                        'batch_stats': state.batch_stats},
+                val_ds, samples_per_batch=global_batch, mesh=mesh)
+            rec = dict(mode='val', **{tag_key: tag},
+                       **{k: round(float(v), 4)
+                          for k, v in metrics_out.items()})
+            print(f'[eval] {rec}')
+            log_f.write(json.dumps(rec) + '\n')
+            log_f.flush()
+
+        done = False
         for epoch in range(start_epoch, epochs):
             if switch_at is not None and epoch >= switch_at and \
                     hasattr(loader.dataset, 'disable_mix'):
@@ -200,6 +254,7 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
             for it, batch in enumerate(loader):
                 sb = shard_batch(batch, mesh)
                 state, metrics = step_fn(state, sb, step_rng)
+                g_it = epoch * steps_per_epoch + it + 1
                 if (it + 1) % log_interval == 0 or it + 1 == steps_per_epoch:
                     m = {k: float(v) for k, v in
                          jax.device_get(metrics).items()}
@@ -208,33 +263,24 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
                     print(f'[train] {rec}')
                     log_f.write(json.dumps(rec) + '\n')
                     log_f.flush()
+                if iter_based:
+                    done = g_it >= max_iters
+                    if g_it % checkpoint_interval == 0 or done:
+                        do_ckpt(g_it)
+                    if 'val' in cfg.data and (g_it % eval_interval == 0
+                                              or done):
+                        do_eval('iter', g_it)
+                    if done:
+                        break
             print(f'[train] epoch {epoch + 1} done in '
                   f'{time.time() - t_epoch:.1f}s')
+            if done:
+                break
+            if iter_based:
+                continue
             if (epoch + 1) % checkpoint_interval == 0 or epoch + 1 == epochs:
-                save_checkpoint(
-                    os.path.join(work_dir, f'ckpt_{epoch + 1}'),
-                    jax.device_get(state),
-                    meta=dict(epoch=epoch + 1, classes=list(
-                        getattr(train_ds, 'CLASSES', []))))
+                do_ckpt(epoch + 1)
             if 'val' in cfg.data and (epoch + 1) % eval_interval == 0:
-                if not hasattr(train_detector, '_val_cache') or \
-                        train_detector._val_cache[0] is not cfg:
-                    train_detector._val_cache = (
-                        cfg, build_dataset(cfg.data['val']))
-                val_ds = train_detector._val_cache[1]
-                # evaluate with EMA weights when tracking them (EMAHook
-                # swaps model↔ema around eval the same way)
-                eval_params = state.ema_params if state.ema_params is not None \
-                    else state.params
-                metrics_out = evaluate_dataset(
-                    model, {'params': eval_params,
-                            'batch_stats': state.batch_stats},
-                    val_ds, samples_per_batch=global_batch, mesh=mesh)
-                rec = dict(mode='val', epoch=epoch + 1,
-                           **{k: round(float(v), 4)
-                              for k, v in metrics_out.items()})
-                print(f'[eval] {rec}')
-                log_f.write(json.dumps(rec) + '\n')
-                log_f.flush()
+                do_eval('epoch', epoch + 1)
         log_f.close()
     return metrics_out

@@ -106,6 +106,59 @@ def convert_torch_resnet(state_dict: Dict[str, 'np.ndarray']
     return dict(params=params, batch_stats=stats)
 
 
+def convert_pycls_regnet(state_dict: Dict[str, 'np.ndarray']
+                         ) -> Dict[str, Any]:
+    """Convert a pycls RegNet state dict to our param layout (reference
+    `tools/model_converters/regnet2mmdet.py` does pycls→mmdet; the target
+    here is `models.backbones.zoo_backbones.RegNet`: `stem_conv/_bn`,
+    `s{i}b{j}_{1,2,3}_conv/_bn`, `s{i}b{j}_down_conv/_bn`, 0-indexed).
+
+    pycls names (1-indexed): `stem.{conv,bn}`, `s{i}.b{j}.proj` /
+    `s{i}.b{j}.bn` (shortcut), `s{i}.b{j}.f.{a,b,c}` + `{a,b,c}_bn`;
+    `head.fc` is dropped. Grouped-conv kernels transpose OIHW→HWIO the
+    same as dense ones (flax keeps I/groups on the in-dim).
+    """
+    f_map = {'a': '1', 'b': '2', 'c': '3'}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    for name, w in state_dict.items():
+        w = np.asarray(w)
+        parts = name.split('.')
+        if parts[0] == 'stem':
+            mod = 'stem_conv' if parts[1] == 'conv' else 'stem_bn'
+        elif parts[0].startswith('s') and parts[0][1:].isdigit():
+            si, bj = int(parts[0][1:]) - 1, int(parts[1][1:]) - 1
+            base = f's{si}b{bj}'
+            if parts[2] == 'proj':
+                mod = f'{base}_down_conv'
+            elif parts[2] == 'bn':
+                mod = f'{base}_down_bn'
+            elif parts[2] == 'f':
+                sub = parts[3]
+                if sub.endswith('_bn'):
+                    mod = f'{base}_{f_map[sub[0]]}_bn'
+                else:
+                    mod = f'{base}_{f_map[sub]}_conv'
+            else:
+                continue
+        else:
+            continue  # head.fc etc.
+        leaf = parts[-1]
+        if mod.endswith('_bn'):
+            if leaf == 'weight':
+                params.setdefault(mod, {})['scale'] = w
+            elif leaf == 'bias':
+                params.setdefault(mod, {})['bias'] = w
+            elif leaf == 'running_mean':
+                stats.setdefault(mod, {})['mean'] = w
+            elif leaf == 'running_var':
+                stats.setdefault(mod, {})['var'] = w
+        elif leaf == 'weight':
+            params.setdefault(mod, {})['kernel'] = w.transpose(2, 3, 1, 0)
+    return dict(params=params, batch_stats=stats)
+
+
 def load_pretrained_backbone(variables: Dict, torch_ckpt_path: str,
                              backbone_key: str = 'backbone',
                              trunk_key: Optional[str] = 'trunk') -> Dict:
@@ -118,8 +171,13 @@ def load_pretrained_backbone(variables: Dict, torch_ckpt_path: str,
     sd = torch.load(torch_ckpt_path, map_location='cpu', weights_only=False)
     if 'state_dict' in sd:
         sd = sd['state_dict']
+    if 'model_state' in sd:        # pycls checkpoint wrapper
+        sd = sd['model_state']
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, 'numpy')}
-    converted = convert_torch_resnet(sd)
+    if any(k.startswith('stem.') for k in sd):     # pycls RegNet naming
+        converted = convert_pycls_regnet(sd)
+    else:
+        converted = convert_torch_resnet(sd)
 
     import copy
     out = copy.deepcopy(jax.device_get(variables))
