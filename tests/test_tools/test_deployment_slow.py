@@ -44,3 +44,18 @@ def test_get_flops(monkeypatch, capsys):
     get_flops.main()
     out = capsys.readouterr().out
     assert 'GFLOPs' in out and 'params' in out
+
+
+def test_image_demo(tmp_path, monkeypatch, capsys):
+    """demo/image_demo.py end-to-end (checkpoint optional → random init;
+    the invariant is config→init_detector→inference→drawn panel)."""
+    sys.path.insert(0, os.path.join(REPO, 'demo'))
+    import image_demo
+    img = os.path.join(REPO, 'tests', 'data', 'voc_source', 'JPEGImages',
+                       'voc_000.jpg')
+    out = str(tmp_path / 'demo.jpg')
+    monkeypatch.setattr(sys, 'argv',
+                        ['image_demo', img, CONFIG, '--out-file', out])
+    image_demo.main()
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    assert 'detections' in capsys.readouterr().out
