@@ -132,3 +132,22 @@ def test_coco_error_analysis_runs(fixture_dataset, tmp_path, monkeypatch,
     out = capsys.readouterr().out
     # perfect results → every error-removal stage stays at 1.0
     assert '"C75": 1.0' in out and '"FN": 1.0' in out
+
+
+def test_robustness_eval_aggregation(tmp_path, monkeypatch, capsys):
+    """robustness_eval.py mPC/rPC table from a synthetic robustness.json
+    (reference tools/analysis_tools/robustness_eval.py)."""
+    import robustness_eval
+    rep = dict(clean=0.8,
+               table={'gaussian_noise': {'1': 0.6, '2': 0.4},
+                      'fog': {'1': 0.7, '2': 0.5}},
+               mPC=0.55, rPC=0.6875)
+    path = tmp_path / 'robustness.json'
+    path.write_text(json.dumps(rep))
+    monkeypatch.setattr(sys, 'argv',
+                        ['robustness_eval', str(path),
+                         '--severities', '1', '2'])
+    robustness_eval.main()
+    out = capsys.readouterr().out
+    assert 'mPC: 0.5500' in out and 'rPC: 0.6875' in out
+    assert 'gaussian_noise' in out and 'fog' in out
