@@ -96,6 +96,30 @@ def test_multiclass_nms():
     assert np.asarray(dets)[0, 4] == pytest.approx(0.9)
 
 
+def test_multiclass_nms_soft_type():
+    """multiclass_nms nms_type='soft_nms': the overlapping box is decayed,
+    not removed — both survive with the second one's score reduced."""
+    boxes = jnp.array([[0, 0, 10, 10], [0, 0, 10.5, 10.5], [30, 30, 40, 40]],
+                      jnp.float32)
+    scores = jnp.array([
+        [0.9, 0.01, 0.09],
+        [0.85, 0.02, 0.13],
+        [0.01, 0.7, 0.29],
+    ], jnp.float32)
+    dets, labels, valid = multiclass_nms(
+        boxes, scores, score_thr=0.05, iou_threshold=0.5, max_per_img=5,
+        nms_type='soft_nms', soft_method='linear', soft_min_score=1e-3)
+    v = np.asarray(valid)
+    assert v.sum() == 3  # soft: box1 decayed (iou~0.9 -> score*0.09), kept
+    d = np.asarray(dets)
+    assert d[0, 4] == pytest.approx(0.9)
+    # decayed score of the overlapped class-0 box: 0.85 * (1 - iou)
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.core.bbox.iou import bbox_overlaps
+    iou01 = float(bbox_overlaps(boxes[:1], boxes[1:2])[0, 0])
+    decayed = 0.85 * (1 - iou01)
+    assert np.isclose(d[:, 4], decayed, atol=1e-5).any()
+
+
 def test_fast_nms_suppression_semantics():
     """fast NMS (YOLACT, reference bbox_nms.py:98): any higher-scored
     same-class overlap suppresses — including chains where greedy NMS

@@ -215,6 +215,104 @@ def test_nms_cross_tile_suppression():
     _check_nms(boxes, scores, 0.6, tile=128)
 
 
+# ---------------------------------------------------------------- Soft-NMS
+
+def soft_nms_golden(boxes, scores, iou_thr, sigma, min_score, method):
+    """mmcv `soft_nms` CPU semantics (Bodla et al. alg. as shipped by mmcv,
+    used by `mmdet/core/post_processing/bbox_nms.py:8` when
+    nms_cfg type='soft_nms'): repeatedly pick the max-current-score box,
+    multiplicatively decay remaining overlaps, prune below min_score.
+    Returns (pick_indices, decayed_scores) in pick order."""
+    boxes = boxes.astype(np.float64)
+    sc = scores.astype(np.float64).copy()
+    alive = sc >= min_score
+    picks, out_sc = [], []
+    area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    while alive.any():
+        masked = np.where(alive, sc, -np.inf)
+        i = int(np.argmax(masked))
+        if sc[i] < min_score:
+            break
+        picks.append(i)
+        out_sc.append(sc[i])
+        alive[i] = False
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        iou = inter / np.maximum(area[i] + area - inter, 1e-12)
+        if method == 'linear':
+            w = np.where(iou > iou_thr, 1.0 - iou, 1.0)
+        elif method == 'gaussian':
+            w = np.exp(-(iou ** 2) / sigma)
+        else:  # naive
+            w = (iou <= iou_thr).astype(np.float64)
+        sc = np.where(alive, sc * w, sc)
+        alive &= sc >= min_score
+    return picks, out_sc
+
+
+@pytest.mark.parametrize('method', ['linear', 'gaussian', 'naive'])
+def test_soft_nms_vs_mmcv_golden(method):
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.core.post.nms import (  # noqa: E501
+        soft_nms)
+    rng = np.random.RandomState(7)
+    n = 120
+    ctr = rng.uniform(0, 120, (n, 2))
+    wh = rng.uniform(8, 50, (n, 2))
+    boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], 1).astype(np.float32)
+    scores = rng.uniform(0.01, 1.0, n).astype(np.float32)
+    want_idx, want_sc = soft_nms_golden(boxes, scores, 0.3, 0.5, 0.05, method)
+
+    max_out = 200
+    dets, idx, valid = soft_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                iou_threshold=0.3, sigma=0.5, min_score=0.05,
+                                method=method, max_out=min(max_out, n))
+    got_n = int(np.asarray(valid).sum())
+    assert got_n == len(want_idx)
+    np.testing.assert_array_equal(np.asarray(idx)[:got_n], want_idx)
+    np.testing.assert_allclose(np.asarray(dets)[:got_n, 4], want_sc,
+                               rtol=1e-5, atol=1e-6)
+    # decayed-score order is descending
+    got_sc = np.asarray(dets)[:got_n, 4]
+    assert np.all(np.diff(got_sc) <= 1e-6)
+
+
+def test_soft_nms_naive_matches_hard_nms_keepset():
+    """method='naive' must reproduce hard greedy NMS's keep set."""
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.core.post.nms import (  # noqa: E501
+        soft_nms)
+    rng = np.random.RandomState(11)
+    n = 80
+    ctr = rng.uniform(0, 80, (n, 2))
+    wh = rng.uniform(10, 40, (n, 2))
+    boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], 1).astype(np.float32)
+    scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    dets, idx, valid = soft_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                iou_threshold=0.5, method='naive',
+                                min_score=1e-3, max_out=n)
+    got = sorted(np.asarray(idx)[np.asarray(valid)].tolist())
+    want = nms_golden(boxes, scores, 0.5)
+    assert got == want
+
+
+def test_batched_soft_nms_no_cross_class_decay():
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.core.post.nms import (  # noqa: E501
+        batched_soft_nms)
+    # two identical boxes, different classes: neither decays the other
+    boxes = np.array([[0., 0., 10., 10.], [0., 0., 10., 10.]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    labels = np.array([0, 1], np.int32)
+    dets, idx, valid = batched_soft_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        iou_threshold=0.3, method='gaussian', max_out=4)
+    assert int(np.asarray(valid).sum()) == 2
+    np.testing.assert_allclose(np.asarray(dets)[:2, 4], [0.9, 0.8], rtol=1e-6)
+    # coordinates restored to the un-shifted frame
+    np.testing.assert_allclose(np.asarray(dets)[:2, :4], boxes, atol=1e-5)
+
+
 # -------------------------------------------------------------- Delta coder
 
 def delta_golden_encode(proposals, gt, means, stds):

@@ -163,7 +163,11 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
                    iou_threshold: float,
                    max_per_img: int,
                    tile_size: int = 256,
-                   pre_nms_top_n: int = 0):
+                   pre_nms_top_n: int = 0,
+                   nms_type: str = 'nms',
+                   soft_sigma: float = 0.5,
+                   soft_min_score: float = 1e-3,
+                   soft_method: str = 'linear'):
     """Per-class NMS over RCNN outputs — reference `multiclass_nms`
     (`mmdet/core/post_processing/bbox_nms.py:8`).
 
@@ -172,6 +176,9 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
         multi_scores: (N, C+1) — last column is background, dropped.
         pre_nms_top_n: cap on candidates entering NMS (0 = N*C). Keeping
             this bounded keeps the IoU tiles small on TPU.
+        nms_type: 'nms' (hard greedy) or 'soft_nms' (score decay) —
+            the reference's ``nms_cfg type`` dispatch in mmcv batched_nms.
+        soft_*: soft-NMS parameters (ignored for hard NMS).
 
     Returns:
         dets (max_per_img, 5) [x1 y1 x2 y2 score], labels (max_per_img,),
@@ -196,6 +203,13 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
         flat_boxes = flat_boxes[sel]
         flat_labels = flat_labels[sel]
 
+    if nms_type == 'soft_nms':
+        dets, out_idx, valid = batched_soft_nms(
+            flat_boxes, flat_scores, flat_labels, iou_threshold,
+            soft_sigma, soft_min_score, soft_method, max_per_img)
+        out_labels = jnp.where(valid, flat_labels[out_idx], 0)
+        return dets, out_labels, valid
+
     keep, _ = batched_nms(flat_boxes, flat_scores, flat_labels, iou_threshold,
                           tile_size)
     kept_scores = jnp.where(keep, flat_scores, NEG_INF)
@@ -211,6 +225,100 @@ def multiclass_nms(multi_bboxes: jnp.ndarray,
     out_labels = jnp.where(valid, flat_labels[top_idx], 0)
     dets = jnp.concatenate([out_boxes, out_scores[:, None]], axis=-1)
     return dets, out_labels, valid
+
+
+def soft_nms(boxes: jnp.ndarray,
+             scores: jnp.ndarray,
+             iou_threshold: float = 0.3,
+             sigma: float = 0.5,
+             min_score: float = 1e-3,
+             method: str = 'linear',
+             max_out: int = 100) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Soft-NMS (Bodla et al., ICCV'17) — score-decay NMS.
+
+    Reference capability: mmcv `soft_nms`, selected via
+    ``nms_cfg=dict(type='soft_nms')`` in
+    `/root/reference/configs/faster_rcnn/faster_rcnn_r50_fpn_soft_nms_1x_coco.py:2-6`
+    and dispatched by `mmdet/core/post_processing/bbox_nms.py:8`.
+
+    Greedy semantics: repeatedly pick the highest-scoring *current* box,
+    then multiplicatively decay every remaining box's score by
+
+    - ``linear``:   ``1 - iou``            when ``iou > iou_threshold``
+    - ``gaussian``: ``exp(-iou**2/sigma)`` for every overlap
+    - ``naive``:    ``0``                  when ``iou > iou_threshold``
+      (degenerates to hard NMS)
+
+    A box whose decayed score drops below ``min_score`` is pruned.  The
+    sequential pick loop is bounded at ``max_out`` iterations — callers
+    always cap output at ``max_per_img`` anyway, and picks are emitted in
+    descending decayed-score order, so the first ``max_out`` picks ARE the
+    top-``max_out`` of the full algorithm.
+
+    Args:
+        boxes: (N, 4) xyxy.  scores: (N,) — NEG_INF marks invalid slots.
+
+    Returns:
+        dets (max_out, 5) [x1 y1 x2 y2 decayed_score], idx (max_out,) int32
+        index into the input (0 where invalid), valid (max_out,) bool.
+    """
+    if method not in ('linear', 'gaussian', 'naive'):
+        raise ValueError(f'unknown soft-NMS method {method!r}')
+    n = boxes.shape[0]
+
+    def body(i, state):
+        sc, out_idx, out_sc = state
+        pick = jnp.argmax(sc)
+        s = sc[pick]
+        ok = s >= min_score
+        out_idx = out_idx.at[i].set(jnp.where(ok, pick, 0).astype(jnp.int32))
+        out_sc = out_sc.at[i].set(jnp.where(ok, s, NEG_INF))
+        iou = bbox_overlaps(boxes[pick][None, :], boxes)[0]
+        if method == 'linear':
+            weight = jnp.where(iou > iou_threshold, 1.0 - iou, 1.0)
+        elif method == 'gaussian':
+            weight = jnp.exp(-(iou * iou) / sigma)
+        else:
+            weight = (iou <= iou_threshold).astype(sc.dtype)
+        new_sc = sc * jnp.where(sc > NEG_INF / 2, weight, 1.0)
+        new_sc = new_sc.at[pick].set(NEG_INF)
+        new_sc = jnp.where(new_sc < min_score, NEG_INF, new_sc)
+        sc = jnp.where(ok, new_sc, sc)
+        return sc, out_idx, out_sc
+
+    sc0 = jnp.where(scores >= min_score, scores, NEG_INF).astype(jnp.float32)
+    out_idx0 = jnp.zeros((max_out,), jnp.int32)
+    out_sc0 = jnp.full((max_out,), NEG_INF, jnp.float32)
+    _, out_idx, out_sc = jax.lax.fori_loop(
+        0, min(max_out, n), body, (sc0, out_idx0, out_sc0))
+    valid = out_sc > NEG_INF / 2
+    out_boxes = boxes[out_idx] * valid[:, None].astype(boxes.dtype)
+    dets = jnp.concatenate(
+        [out_boxes, jnp.where(valid, out_sc, 0.0)[:, None]], axis=-1)
+    return dets, out_idx, valid
+
+
+def batched_soft_nms(boxes: jnp.ndarray,
+                     scores: jnp.ndarray,
+                     idxs: jnp.ndarray,
+                     iou_threshold: float = 0.3,
+                     sigma: float = 0.5,
+                     min_score: float = 1e-3,
+                     method: str = 'linear',
+                     max_out: int = 100):
+    """Category-aware soft-NMS via the coordinate-offset trick (mmcv
+    `batched_nms` with ``nms_cfg type='soft_nms'``).  Cross-class IoU is 0
+    after offsetting, so decay weights are exactly 1 across classes for all
+    three methods (``exp(0)=1``)."""
+    lo = jnp.min(boxes)
+    unit = jnp.max(boxes) - lo + 1.0
+    shifted = (boxes - lo) + (idxs.astype(boxes.dtype) * (unit + 1.0))[:, None]
+    dets, out_idx, valid = soft_nms(shifted, scores, iou_threshold, sigma,
+                                    min_score, method, max_out)
+    # restore original (un-shifted) coordinates
+    out_boxes = boxes[out_idx] * valid[:, None].astype(boxes.dtype)
+    dets = jnp.concatenate([out_boxes, dets[:, 4:5]], axis=-1)
+    return dets, out_idx, valid
 
 
 def fast_nms_keep(boxes: jnp.ndarray,

@@ -121,10 +121,15 @@ def _nested_to_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
             nms_iou_threshold=tr.get('nms', {}).get('iou_threshold', 0.7),
             min_bbox_size=tr.get('min_bbox_size', 0))
         tc = test_cfg.get('rcnn', {})
+        tc_nms = tc.get('nms', {})
         kwargs['roi_test_cfg'] = RoITestConfig(
             score_thr=tc.get('score_thr', 0.05),
-            nms_iou_threshold=tc.get('nms', {}).get('iou_threshold', 0.5),
-            max_per_img=tc.get('max_per_img', 100))
+            nms_iou_threshold=tc_nms.get('iou_threshold', 0.5),
+            max_per_img=tc.get('max_per_img', 100),
+            nms_type=tc_nms.get('type', 'nms'),
+            soft_sigma=tc_nms.get('sigma', 0.5),
+            soft_min_score=tc_nms.get('min_score', 1e-3),
+            soft_method=tc_nms.get('method', 'linear'))
     return kwargs
 
 

@@ -51,6 +51,12 @@ class RoITestConfig(NamedTuple):
     max_per_img: int = 100
     nms_pre: int = 1024
     nms_tile: int = 256
+    # reference nms_cfg type dispatch ('nms' | 'soft_nms'), see
+    # `configs/faster_rcnn/faster_rcnn_r50_fpn_soft_nms_1x_coco.py:2-6`
+    nms_type: str = 'nms'
+    soft_sigma: float = 0.5
+    soft_min_score: float = 1e-3
+    soft_method: str = 'linear'
 
 
 class SampledRoIs(NamedTuple):
@@ -308,7 +314,9 @@ def roi_head_predict(bbox_head_apply,
         return multiclass_nms(
             boxes_i.reshape(p, num_classes * 4), scores_i,
             cfg.score_thr, cfg.nms_iou_threshold, cfg.max_per_img,
-            cfg.nms_tile, cfg.nms_pre)
+            cfg.nms_tile, cfg.nms_pre, nms_type=cfg.nms_type,
+            soft_sigma=cfg.soft_sigma, soft_min_score=cfg.soft_min_score,
+            soft_method=cfg.soft_method)
 
     dets, labels, valid = jax.vmap(per_image)(boxes, scores)
     return dict(dets=dets, labels=labels, valid=valid)
