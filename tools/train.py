@@ -26,6 +26,10 @@ def parse_args(argv=None):
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--max-epochs', type=int, default=None)
     p.add_argument('--n-devices', type=int, default=None)
+    p.add_argument('--launcher', choices=['none', 'jax'], default='none',
+                   help="'jax' → jax.distributed.initialize (multi-host); "
+                        "the reference's init_dist launcher "
+                        "(tools/DA_train.py:66-70)")
     p.add_argument('--cfg-options', nargs='+', default=[],
                    help='dotted config overrides: key=value')
     return p.parse_args(argv)
@@ -46,6 +50,7 @@ def main(argv=None):
         cfg, work_dir, resume_from=args.resume_from, load_from=args.load_from,
         pretrained_backbone=args.pretrained_backbone, seed=args.seed,
         max_epochs=args.max_epochs, n_devices=args.n_devices,
+        launcher=None if args.launcher == 'none' else args.launcher,
         log_interval=cfg.get('log_config', {}).get('interval', 50))
     print('final metrics:', metrics)
 

@@ -18,7 +18,9 @@ import numpy as np
 
 from ..data import DataLoader, build_dataset
 from ..models.builder import build_detector
-from ..parallel import make_mesh, replicate_state, shard_batch
+from ..parallel import (global_batch_from_host_data, init_multihost,
+                        mesh_from_cfg, replicate_state, shard_batch,
+                        shard_train_state)
 from ..utils.checkpoint import (latest_checkpoint, load_checkpoint,
                                 load_pretrained_backbone, save_checkpoint)
 from .test import evaluate_dataset
@@ -63,8 +65,23 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
                    max_epochs: Optional[int] = None,
                    eval_interval: int = 1,
                    checkpoint_interval: int = 1,
-                   n_devices: Optional[int] = None) -> Dict[str, float]:
-    """Config-driven training. Returns the last eval metrics."""
+                   n_devices: Optional[int] = None,
+                   launcher: Optional[str] = None) -> Dict[str, float]:
+    """Config-driven training. Returns the last eval metrics.
+
+    `launcher='jax'` (or a `dist_params` config block) initializes the
+    multi-process runtime via `jax.distributed.initialize` — the reference's
+    `init_dist(args.launcher)` (`tools/DA_train.py:66-70,214`). Each host
+    then feeds its slice of the global batch
+    (`jax.make_array_from_process_local_data`). A `mesh = dict(data=-1,
+    model=k)` config block adds tensor parallelism (Megatron bbox-head
+    split, `parallel/shardings.py`).
+    """
+    if launcher == 'jax' or cfg.get('dist_params'):
+        dp = cfg.get('dist_params') or {}
+        init_multihost(coordinator_address=dp.get('coordinator_address'),
+                       num_processes=dp.get('num_processes'),
+                       process_id=dp.get('process_id'))
     os.makedirs(work_dir, exist_ok=True)
     log_path = os.path.join(work_dir, 'train_log.jsonl')
 
@@ -87,10 +104,29 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
             f'{len(ds_classes)} ({ds_classes[:5]}…) — check the config '
             f'(reference NumClassCheckHook)')
     samples_per_batch = cfg.data.get('samples_per_gpu', 2)
-    mesh = make_mesh(n_devices)
+    mesh = mesh_from_cfg(cfg, n_devices)
+    tp = mesh.shape.get('model', 1)
     n_dev = mesh.devices.size
-    global_batch = samples_per_batch * n_dev
+    # batch rows ride the `data` axis only; TP replicas share rows
+    global_batch = samples_per_batch * (n_dev // tp)
+    n_proc = jax.process_count()
+    proc_id = jax.process_index()
+    if global_batch % max(n_proc, 1):
+        raise ValueError(f'global batch {global_batch} not divisible by '
+                         f'{n_proc} processes')
+    # every host walks the SAME deterministic global sampler and takes its
+    # contiguous row slice — replaces the reference's DistributedSampler
+    # (contiguity keeps the two-stream [s,t,s,t,…] interleave intact as
+    # long as the per-host share is even)
     loader = DataLoader(train_ds, global_batch, seed=seed)
+    per_host = global_batch // n_proc
+    host_lo, host_hi = proc_id * per_host, (proc_id + 1) * per_host
+
+    def put_batch(batch):
+        if n_proc == 1:
+            return shard_batch(batch, mesh)
+        local = {k: v[host_lo:host_hi] for k, v in batch.items()}
+        return global_batch_from_host_data(local, mesh)
 
     # optimizer spec from cfg
     opt_cfg = cfg.get('optimizer', {})
@@ -197,8 +233,16 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
         print(f'[train] loaded weights from {load_from}')
 
     step_fn = jax.jit(step_builder(), donate_argnums=0)
+
+    def state_to_host(s):
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+            return multihost_utils.process_allgather(s)
+        return jax.device_get(s)
+
     with mesh:
-        state = replicate_state(state, mesh)
+        state = shard_train_state(state, mesh) if tp > 1 \
+            else replicate_state(state, mesh)
         metrics_out: Dict[str, float] = {}
         log_f = open(log_path, 'a')
         # rbg keys: dropout/sampler bits come from XLA RngBitGenerator
@@ -215,9 +259,12 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
             if 'ModeSwitch' in str(hook.get('type', '')):
                 switch_at = epochs - hook.get('num_last_epochs', 15)
         def do_ckpt(tag: int):
+            host_state = state_to_host(state)
+            if proc_id != 0:
+                return
             save_checkpoint(
                 os.path.join(work_dir, f'ckpt_{tag}'),
-                jax.device_get(state),
+                host_state,
                 meta=dict(epoch=tag, classes=list(
                     getattr(train_ds, 'CLASSES', []))))
 

@@ -21,11 +21,36 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, axis_name: str = 'data') -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = 'data',
+              model: int = 1) -> Mesh:
+    """1-D `data` mesh, or a 2-D (data, model) mesh when `model > 1`.
+
+    `model` is the tensor-parallel degree (see `shardings.param_shardings`);
+    devices are laid out model-axis-minor so TP pairs are ICI neighbors.
+    Config surface: `mesh = dict(data=-1, model=2)` (data=-1 → fill).
+    """
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (axis_name,))
+    if model <= 1:
+        return Mesh(np.asarray(devices), (axis_name,))
+    if len(devices) % model:
+        raise ValueError(
+            f'{len(devices)} devices not divisible by model={model}')
+    grid = np.asarray(devices).reshape(len(devices) // model, model)
+    return Mesh(grid, (axis_name, 'model'))
+
+
+def mesh_from_cfg(cfg, n_devices: Optional[int] = None) -> Mesh:
+    """Build the mesh from a config's `mesh = dict(data=-1, model=1)` block
+    (the TPU-native analogue of the reference's `dist_params`
+    `da_configs/_base_/default_runtime.py:24`)."""
+    mesh_cfg = (cfg.get('mesh') if hasattr(cfg, 'get') else None) or {}
+    model = int(mesh_cfg.get('model', 1))
+    data = int(mesh_cfg.get('data', -1))
+    if data > 0 and n_devices is None:
+        n_devices = data * model
+    return make_mesh(n_devices, model=model)
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = 'data') -> NamedSharding:

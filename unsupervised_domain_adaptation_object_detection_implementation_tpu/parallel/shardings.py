@@ -7,14 +7,48 @@ DC5 trunk) — shards column-wise over the `model` axis, and its second FC
 row-wise, so the pair needs a single psum on ICI (Megatron-style MLP split).
 Everything else stays replicated: with XLA's sharding propagation that's the
 entire "implementation" — rules + GSPMD, no manual collectives.
+
+Placement is path-rule based: the SAME rule maps params, EMA params, and
+every optimizer-state leaf whose path ends in a TP-split parameter name —
+so SGD momentum shards exactly like its parameter (no replicated-momentum
+HBM waste under TP, no silent fallback).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, List
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _path_keys(path) -> List[str]:
+    """Flatten a tree_util key path into string segments (dict keys,
+    NamedTuple field names, sequence indices)."""
+    out = []
+    for k in path:
+        if hasattr(k, 'key'):
+            out.append(str(k.key))
+        elif hasattr(k, 'name'):
+            out.append(str(k.name))
+        elif hasattr(k, 'idx'):
+            out.append(str(k.idx))
+    return out
+
+
+def _tp_spec(keys: List[str], leaf, model_axis: str) -> P:
+    """Megatron split of the Shared2FC bbox-head pair. Matches any path
+    SUFFIX `.../shared_fc{1,2}/{kernel,bias}` — the same parameter inside
+    `params`, `ema_params`, or an optax momentum/trace tree."""
+    shape = getattr(leaf, 'shape', ())
+    if 'shared_fc1' in keys:
+        if keys[-1] == 'kernel' and len(shape) == 2:
+            return P(None, model_axis)    # column split
+        if keys[-1] == 'bias' and len(shape) == 1:
+            return P(model_axis)
+    if 'shared_fc2' in keys and keys[-1] == 'kernel' and len(shape) == 2:
+        return P(model_axis, None)        # row split
+    return P()
 
 
 def param_shardings(params: Dict[str, Any], mesh: Mesh,
@@ -23,58 +57,23 @@ def param_shardings(params: Dict[str, Any], mesh: Mesh,
     replicated. Works for any detector exposing `bbox_head/shared_fc{1,2}`."""
 
     def rule(path, leaf):
-        keys = [k.key for k in path if hasattr(k, 'key')]
-        if 'shared_fc1' in keys and keys[-1] == 'kernel':
-            return NamedSharding(mesh, P(None, model_axis))   # column split
-        if 'shared_fc1' in keys and keys[-1] == 'bias':
-            return NamedSharding(mesh, P(model_axis))
-        if 'shared_fc2' in keys and keys[-1] == 'kernel':
-            return NamedSharding(mesh, P(model_axis, None))   # row split
-        return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _tp_spec(_path_keys(path), leaf,
+                                            model_axis))
 
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
 def shard_train_state(state, mesh: Mesh, model_axis: str = 'model'):
-    """Place a TrainState with TP rules on params (+ matching opt state)."""
-    p_shard = param_shardings(state.params, mesh, model_axis)
+    """Place a TrainState with TP rules applied uniformly to params, EMA
+    params, AND the optimizer state (momentum shards like its parameter —
+    optax trace trees carry the param path as a suffix, so the one rule
+    covers them; MaskedNode / scalar leaves replicate)."""
 
-    def place_like(tree):
-        # momentum/trace trees mirror params; other leaves replicate
-        try:
-            return jax.tree_util.tree_map(
-                lambda x, s: jax.device_put(x, s), tree, p_shard)
-        except ValueError:
-            return jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+    def place(path, leaf):
+        spec = _tp_spec(_path_keys(path), leaf, model_axis)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    params = jax.tree_util.tree_map(
-        lambda x, s: jax.device_put(x, s), state.params, p_shard)
-    batch_stats = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())),
-        state.batch_stats)
-
-    def place_opt(node):
-        if isinstance(node, tuple):
-            return tuple(place_opt(n) for n in node)
-        if isinstance(node, dict) or hasattr(node, 'keys'):
-            return place_like(node)
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, NamedSharding(mesh, P())), node)
-
-    opt_state = jax.tree_util.tree_map(
-        lambda x: x, state.opt_state)  # structural copy
-    # optimizer states that mirror the param tree get the same shardings;
-    # fall back to replication for anything else
-    try:
-        opt_state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, NamedSharding(mesh, P())),
-            state.opt_state)
-    except Exception:
-        pass
-    step = jax.device_put(state.step, NamedSharding(mesh, P()))
-    return state._replace(step=step, params=params, batch_stats=batch_stats,
-                          opt_state=opt_state)
+    return jax.tree_util.tree_map_with_path(place, state)
 
 
 def fsdp_param_shardings(params: Dict[str, Any], mesh: Mesh,
