@@ -46,7 +46,8 @@ def init_detector(config: Union[str, Config],
     model = build_detector(cfg.model)
     # derive test pipeline geometry from the config's test pipeline
     img_scale = (1000, 600)
-    for t in cfg.data['test'].get('pipeline', []):
+    test_cfg = (cfg.get('data') or {}).get('test') or {}
+    for t in test_cfg.get('pipeline', []):
         if t.get('type') == 'MultiScaleFlipAug':
             img_scale = tuple(t.get('img_scale', img_scale))
     canvas = _default_canvas(img_scale)
@@ -70,7 +71,19 @@ def init_detector(config: Union[str, Config],
             if hasattr(state, 'get') else state[2]
         variables = {'params': params, 'batch_stats': stats}
     if classes is None:
-        classes = tuple(f'class_{i}' for i in range(model.num_classes))
+        # reference CLASSES fallback: top-level `classes` in the config,
+        # then the dataset's declared classes (mmdet `init_detector` reads
+        # checkpoint meta CLASSES, `apis/inference.py:17`)
+        classes = cfg.get('classes')
+        if classes is None:
+            for split in ('test', 'val', 'train'):
+                classes = (cfg.get('data') or {}).get(split, {}).get('classes')
+                if classes:
+                    break
+        if classes is not None:
+            classes = tuple(classes)
+        else:
+            classes = tuple(f'class_{i}' for i in range(model.num_classes))
     return DetectorBundle(model, variables, cfg, classes, canvas, img_scale)
 
 
