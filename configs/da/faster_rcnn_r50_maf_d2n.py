@@ -1,0 +1,3 @@
+# MAF on day→night (reference da_configs/faster_rcnn/MAF_d2n.py).
+_base_ = ['faster_rcnn_r50_daf_d2n.py']
+model = dict(type='MAFasterRCNN')

@@ -70,6 +70,37 @@ class TestLVIS:
         out = ds.evaluate(det)
         assert out['bbox_AP'] > 0.99
 
+    def test_frequency_bins(self, coco_json, tmp_path):
+        """APr/APc/APf: lvis-api groups per-class APs by the categories'
+        `frequency` tag (reference mmdet/datasets/lvis.py reports these
+        through LVISEval)."""
+        cats = [dict(id=1, name='rareclass', frequency='r'),
+                dict(id=2, name='commonclass', frequency='c'),
+                dict(id=3, name='frequentclass', frequency='f')]
+        images = [dict(id=1, file_name='a.jpg', width=200, height=200,
+                       neg_category_ids=[],
+                       not_exhaustive_category_ids=[])]
+        anns = [dict(id=1, image_id=1, category_id=1,
+                     bbox=[0, 0, 10, 10], area=100),
+                dict(id=2, image_id=1, category_id=2,
+                     bbox=[50, 50, 10, 10], area=100),
+                dict(id=3, image_id=1, category_id=3,
+                     bbox=[100, 100, 10, 10], area=100)]
+        ds = LVISV1Dataset(ann_file=coco_json(cats, images, anns),
+                           img_prefix=str(tmp_path), pipeline=[],
+                           test_mode=True)
+        assert ds.cat_frequency == ('r', 'c', 'f')
+        # perfect rare + frequent, missed common
+        det = [[np.array([[0, 0, 10, 10, 0.9]], np.float32),
+                np.zeros((0, 5), np.float32),
+                np.array([[100, 100, 110, 110, 0.9]], np.float32)]]
+        out = ds.evaluate(det)
+        assert out['bbox_APr'] > 0.99
+        assert out['bbox_APc'] == 0.0
+        assert out['bbox_APf'] > 0.99
+        np.testing.assert_allclose(out['bbox_AP'], (1 + 0 + 1) / 3,
+                                   atol=1e-6)
+
 
 class TestAutoAugment:
     def _results(self):

@@ -51,7 +51,7 @@ class CocoDataset(CustomDataset):
         infos = []
         for img in coco['images']:
             bboxes, labels, masks = [], [], []
-            bboxes_ignore = []
+            bboxes_ignore, labels_ignore = [], []
             for a in anns_by_img[img['id']]:
                 if a.get('ignore') or a['category_id'] not in catid2label:
                     continue
@@ -59,6 +59,7 @@ class CocoDataset(CustomDataset):
                 box = [x, y, x + w, y + h]
                 if a.get('iscrowd'):
                     bboxes_ignore.append(box)
+                    labels_ignore.append(catid2label[a['category_id']])
                 else:
                     bboxes.append(box)
                     labels.append(catid2label[a['category_id']])
@@ -69,7 +70,7 @@ class CocoDataset(CustomDataset):
                 labels=np.asarray(labels, np.int64),
                 bboxes_ignore=np.asarray(bboxes_ignore,
                                          np.float32).reshape(-1, 4),
-                labels_ignore=np.zeros((len(bboxes_ignore),), np.int64),
+                labels_ignore=np.asarray(labels_ignore, np.int64),
                 masks=masks,
             )
             infos.append(dict(id=img['id'], filename=img['file_name'],
@@ -85,72 +86,159 @@ class CocoDataset(CustomDataset):
         assert metric == 'bbox'
         annotations = [self.get_ann_info(i) for i in range(len(self))]
         iou_thrs = np.arange(0.5, 1.0, 0.05)
-        aps = coco_style_ap(results, annotations, iou_thrs,
-                            num_classes=len(self.CLASSES))
+        n = len(self.CLASSES)
+        aps = coco_style_ap(results, annotations, iou_thrs, n)
         out = {
             'bbox_mAP': float(np.mean(aps)),
             'bbox_mAP_50': float(aps[0]),
             'bbox_mAP_75': float(aps[5]),
         }
+        # area-range breakdown (COCOeval small/medium/large; the reference
+        # reports these via pycocotools, mmdet/datasets/coco.py:364)
+        for key, rng in (('s', AREA_SMALL), ('m', AREA_MEDIUM),
+                         ('l', AREA_LARGE)):
+            a = coco_style_ap(results, annotations, iou_thrs, n,
+                              area_rng=rng)
+            out[f'bbox_mAP_{key}'] = float(np.mean(a))
         return out
 
 
-def coco_style_ap(det_results, annotations, iou_thrs, num_classes,
-                  max_dets: int = 100) -> np.ndarray:
-    """COCO AP: 101-point interpolation, per-IoU, averaged over classes.
+# COCOeval area ranges (pycocotools cocoeval.py Params: areaRng)
+AREA_ALL = (0.0, 1e10)
+AREA_SMALL = (0.0, 32.0 ** 2)
+AREA_MEDIUM = (32.0 ** 2, 96.0 ** 2)
+AREA_LARGE = (96.0 ** 2, 1e10)
 
-    Greedy matching in score order against best available gt per COCOeval.
-    Returns array of APs, one per IoU threshold (mean over classes with gts).
+
+def _coco_ious(d: np.ndarray, g: np.ndarray,
+               iscrowd: np.ndarray) -> np.ndarray:
+    """Pairwise det×gt IoU with COCO crowd semantics: against a crowd gt
+    the denominator is the DET area alone (pycocotools maskUtils.iou)."""
+    if len(d) == 0 or len(g) == 0:
+        return np.zeros((len(d), len(g)))
+    lt = np.maximum(d[:, None, :2], g[None, :, :2])
+    rb = np.minimum(d[:, None, 2:4], g[None, :, 2:4])
+    wh = np.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    da = ((d[:, 2] - d[:, 0]) * (d[:, 3] - d[:, 1]))[:, None]
+    ga = ((g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1]))[None, :]
+    union = np.where(iscrowd[None, :], da, da + ga - inter)
+    return inter / np.maximum(union, np.finfo(np.float64).eps)
+
+
+def _match_one_image(d, g, iscrowd, gt_ig, iou_thrs, max_dets):
+    """COCOeval.evaluateImg matching for one image & class.
+
+    `d` (n,5) dets; `g` (m,4) gts (crowd included); `iscrowd`/`gt_ig`
+    (m,) bools. Returns (scores (n',), dt_matched (T,n'), dt_ig (T,n'))
+    with n' = min(n, max_dets) dets in stable score-descending order.
+    Matching per pycocotools: gts sorted ignore-last; a det takes the
+    best-IoU gt ≥ thr (ties → later gt); crowd gts are reusable; once a
+    non-ignore match is held, ignore gts cannot displace it; unmatched
+    dets falling outside the gt area range are marked ignore.
     """
-    recall_thrs = np.linspace(0, 1, 101)
-    aps = np.zeros((len(iou_thrs), num_classes))
-    has_gt = np.zeros(num_classes, bool)
-    for c in range(num_classes):
-        scores_all, matched_all = [], []   # per iou_thr matched flags
-        n_gt = 0
-        per_img = []
-        for det, ann in zip(det_results, annotations):
-            d = det[c]
-            g = ann['bboxes'][ann['labels'] == c]
-            n_gt += len(g)
-            per_img.append((d, g))
-        if n_gt == 0:
-            continue
-        has_gt[c] = True
-        for t, thr in enumerate(iou_thrs):
-            scores, matches = [], []
-            for d, g in per_img:
-                d = d[np.argsort(-d[:, -1])][:max_dets]
-                taken = np.zeros(len(g), bool)
-                ious = _overlaps(d[:, :4], g, 0.0) if len(d) and len(g) \
-                    else np.zeros((len(d), len(g)))
-                for i in range(len(d)):
-                    best, best_j = thr, -1
-                    for j in range(len(g)):
-                        if not taken[j] and ious[i, j] >= best:
-                            best, best_j = ious[i, j], j
-                    if best_j >= 0:
-                        taken[best_j] = True
-                        matches.append(1)
-                    else:
-                        matches.append(0)
-                    scores.append(d[i, -1])
-            if not scores:
+    order = np.argsort(-d[:, -1], kind='mergesort')[:max_dets]
+    d = d[order]
+    gt_order = np.argsort(gt_ig, kind='mergesort')   # non-ignored first
+    g, iscrowd, gt_ig = g[gt_order], iscrowd[gt_order], gt_ig[gt_order]
+    ious = _coco_ious(d[:, :4], g, iscrowd)
+    T, n, m = len(iou_thrs), len(d), len(g)
+    dtm = np.zeros((T, n), bool)
+    dt_ig = np.zeros((T, n), bool)
+    for t, thr in enumerate(iou_thrs):
+        gtm = np.zeros(m, bool)
+        for i in range(n):
+            best = min(thr, 1 - 1e-10)
+            match = -1
+            for j in range(m):
+                if gtm[j] and not iscrowd[j]:
+                    continue
+                if match > -1 and not gt_ig[match] and gt_ig[j]:
+                    break
+                if ious[i, j] < best:
+                    continue
+                best = ious[i, j]
+                match = j
+            if match == -1:
                 continue
-            order = np.argsort(-np.asarray(scores))
-            m = np.asarray(matches)[order]
-            tp = np.cumsum(m)
-            fp = np.cumsum(1 - m)
-            rec = tp / n_gt
-            prec = tp / np.maximum(tp + fp, 1e-9)
-            # monotone precision envelope then 101-point sample
-            for i in range(len(prec) - 2, -1, -1):
-                prec[i] = max(prec[i], prec[i + 1])
-            idx = np.searchsorted(rec, recall_thrs, side='left')
-            q = np.zeros_like(recall_thrs)
-            valid = idx < len(prec)
-            q[valid] = prec[idx[valid]]
+            dtm[t, i] = True
+            dt_ig[t, i] = gt_ig[match]
+            gtm[match] = True
+    return d[:, -1], dtm, dt_ig
+
+
+def coco_style_ap(det_results, annotations, iou_thrs, num_classes,
+                  max_dets: int = 100, area_rng=None) -> np.ndarray:
+    """COCO AP with full COCOeval semantics (pycocotools cocoeval.py:
+    evaluateImg + accumulate; the reference evaluates through COCOeval at
+    `mmdet/datasets/coco.py:364`).
+
+    Implements: per-image top-`max_dets` by stable score sort, crowd gts
+    as reusable ignore regions (IoU over det area), gts outside
+    `area_rng` ignored, unmatched dets outside `area_rng` ignored,
+    101-point interpolated precision, classes without (non-ignored) gt
+    excluded from the mean. Returns one AP per IoU threshold.
+    """
+    iou_thrs = np.asarray(iou_thrs, np.float64)
+    lo, hi = area_rng if area_rng is not None else AREA_ALL
+    recall_thrs = np.linspace(0, 1, 101)
+    T = len(iou_thrs)
+    aps = np.full((T, num_classes), -1.0)
+    for c in range(num_classes):
+        scores, dtm_parts, dtig_parts = [], [], []
+        npig = 0
+        for det, ann in zip(det_results, annotations):
+            d = np.asarray(det[c], np.float64).reshape(-1, 5)
+            keep = ann['labels'] == c
+            g = np.asarray(ann['bboxes'][keep], np.float64).reshape(-1, 4)
+            g_ign = np.asarray(
+                ann.get('bboxes_ignore', np.zeros((0, 4))),
+                np.float64).reshape(-1, 4)
+            # crowd regions are per-category in COCO; keep only class-c
+            # crowds when the loader recorded their labels
+            l_ign = ann.get('labels_ignore')
+            if l_ign is not None and len(l_ign) == len(g_ign):
+                g_ign = g_ign[np.asarray(l_ign) == c]
+            gall = np.concatenate([g, g_ign], axis=0)
+            iscrowd = np.concatenate([np.zeros(len(g), bool),
+                                      np.ones(len(g_ign), bool)])
+            area = (gall[:, 2] - gall[:, 0]) * (gall[:, 3] - gall[:, 1])
+            gt_ig = iscrowd | (area < lo) | (area > hi)
+            s, dtm, dt_ig = _match_one_image(d, gall, iscrowd, gt_ig,
+                                             iou_thrs, max_dets)
+            # unmatched dets outside the area range are ignored
+            darea = (d[:, 2] - d[:, 0]) * (d[:, 3] - d[:, 1])
+            dorder = np.argsort(-d[:, -1], kind='mergesort')[:max_dets]
+            out_rng = (darea[dorder] < lo) | (darea[dorder] > hi)
+            dt_ig = dt_ig | (~dtm & out_rng[None, :])
+            scores.append(s)
+            dtm_parts.append(dtm)
+            dtig_parts.append(dt_ig)
+            npig += int((~gt_ig).sum())
+        if npig == 0:
+            continue
+        s_all = np.concatenate(scores) if scores else np.zeros(0)
+        order = np.argsort(-s_all, kind='mergesort')
+        dtm = (np.concatenate(dtm_parts, axis=1)[:, order]
+               if scores else np.zeros((T, 0), bool))
+        dt_ig = (np.concatenate(dtig_parts, axis=1)[:, order]
+                 if scores else np.zeros((T, 0), bool))
+        tps = np.cumsum(dtm & ~dt_ig, axis=1, dtype=np.float64)
+        fps = np.cumsum(~dtm & ~dt_ig, axis=1, dtype=np.float64)
+        for t in range(T):
+            tp, fp = tps[t], fps[t]
+            rc = tp / npig
+            pr = tp / (fp + tp + np.spacing(1))
+            q = np.zeros(len(recall_thrs))
+            # monotone envelope (in-place, right to left)
+            for i in range(len(pr) - 1, 0, -1):
+                if pr[i] > pr[i - 1]:
+                    pr[i - 1] = pr[i]
+            inds = np.searchsorted(rc, recall_thrs, side='left')
+            valid = inds < len(pr)
+            q[valid] = pr[inds[valid]]
             aps[t, c] = q.mean()
-    if not has_gt.any():
-        return np.zeros(len(iou_thrs))
-    return aps[:, has_gt].mean(axis=1)
+    has = aps[0] > -1
+    if not has.any():
+        return np.zeros(T)
+    return aps[:, has].mean(axis=1)

@@ -64,6 +64,9 @@ class _LVISBase(CocoDataset):
         with open(ann_file) as f:
             lvis = json.load(f)
         cats = sorted(lvis['categories'], key=lambda c: c['id'])
+        # LVIS frequency bins (lvis-api: 'r'are <10 imgs, 'c'ommon 10-100,
+        # 'f'requent >100) drive the APr/APc/APf summary
+        self.cat_frequency = tuple(c.get('frequency', 'f') for c in cats)
         self.CLASSES = tuple(c['name'] for c in cats)
         self.cat2label = {c: i for i, c in enumerate(self.CLASSES)}
         catid2label = {c['id']: i for i, c in enumerate(cats)}
@@ -104,7 +107,7 @@ class _LVISBase(CocoDataset):
         annotations = [self.get_ann_info(i) for i in range(len(self))]
         iou_thrs = np.arange(0.5, 1.0, 0.05)
         n_cls = len(self.CLASSES)
-        aps = []
+        aps, freqs = [], []
         for ci in range(n_cls):
             dets_c, anns_c = [], []
             any_gt = False
@@ -126,7 +129,18 @@ class _LVISBase(CocoDataset):
                 continue
             aps.append(np.mean(coco_style_ap(dets_c, anns_c, iou_thrs, 1,
                                              max_dets=300)))
-        return {'bbox_AP': float(np.mean(aps)) if aps else 0.0}
+            freqs.append(getattr(self, 'cat_frequency', ('f',) * n_cls)[ci])
+        out = {'bbox_AP': float(np.mean(aps)) if aps else 0.0}
+        # lvis-api frequency-binned summary (LVISEval: APr/APc/APf over
+        # rare/common/frequent categories; reference mmdet/datasets/lvis.py
+        # reports these through the lvis package)
+        aps_arr = np.asarray(aps)
+        freqs_arr = np.asarray(freqs)
+        for key, tag in (('bbox_APr', 'r'), ('bbox_APc', 'c'),
+                         ('bbox_APf', 'f')):
+            sel = freqs_arr == tag
+            out[key] = float(aps_arr[sel].mean()) if sel.any() else 0.0
+        return out
 
 
 @DATASETS.register_module()
