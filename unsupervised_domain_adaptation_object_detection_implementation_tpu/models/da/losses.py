@@ -41,16 +41,26 @@ def global_alignment_loss(logits: jnp.ndarray, domain: jnp.ndarray,
     return loss
 
 
-def patch_ls_loss(logit_map: jnp.ndarray, domain: jnp.ndarray) -> jnp.ndarray:
+def patch_ls_loss(logit_map: jnp.ndarray, domain: jnp.ndarray,
+                  quirk_sigmoid_shift: bool = False) -> jnp.ndarray:
     """Least-squares patch alignment over (B, H, W, 1) logit maps.
 
     Per-image: source 0.5·mean(σ(f)²), target 0.5·mean((1−σ(f))²); summed
     over the batch (the reference sums per-image terms,
     `resnet_da_cbam.py:950-957`).
+
+    `quirk_sigmoid_shift=True` reproduces the reference's exact target term
+    0.5·mean(σ(1−f)²) (`resnet_da_cbam.py:977` writes `sigmoid(1 - f)` —
+    an activation-shift slip; both forms are monotone-decreasing in f, the
+    default uses the SWDA-paper form). Used by the torch-numerics goldens.
     """
     p = jax.nn.sigmoid(logit_map)
     per_img_src = 0.5 * jnp.mean(p**2, axis=(1, 2, 3))
-    per_img_tgt = 0.5 * jnp.mean((1.0 - p)**2, axis=(1, 2, 3))
+    if quirk_sigmoid_shift:
+        per_img_tgt = 0.5 * jnp.mean(
+            jax.nn.sigmoid(1.0 - logit_map)**2, axis=(1, 2, 3))
+    else:
+        per_img_tgt = 0.5 * jnp.mean((1.0 - p)**2, axis=(1, 2, 3))
     is_tgt = (domain == 1)
     return jnp.sum(jnp.where(is_tgt, per_img_tgt, per_img_src))
 
@@ -127,8 +137,13 @@ def grouped_instance_loss(
         loss = sigmoid_focal_loss(
             logits, labels, weight=rep_valid.astype(logits.dtype),
             reduction='sum')
-        losses.append(loss / jnp.maximum(jnp.sum(rep_valid), 1.0))
+        # reference-numerics mode: mmdet FocalLoss(reduction='mean')
+        # averages over N·C elements (C=2), not rows
+        denom = jnp.sum(rep_valid) * (2.0 if quirk_detach else 1.0)
+        losses.append(loss / jnp.maximum(denom, 1.0))
     total = losses[0] + losses[1]
     if quirk_detach:
+        # reference returns `.item()`-detached floats: the grouped loss is
+        # a logged number, no gradient (`DAFaster_rcnn.py:325`)
         total = jax.lax.stop_gradient(total)
     return total

@@ -137,7 +137,8 @@ class DAFasterRCNN(nn.Module):
                 global_terms.append(global_alignment_loss(
                     out, domain, self.quirk_detach))
             elif name.startswith('pixel'):
-                patch_terms.append(patch_ls_loss(out, domain))
+                patch_terms.append(patch_ls_loss(
+                    out, domain, quirk_sigmoid_shift=self.quirk_detach))
             elif name.startswith('image'):
                 image_maps.append(out)
         if global_terms:
