@@ -1,0 +1,7 @@
+# Counterpart of reference configs/dcn/faster_rcnn_r50_fpn_mdconv_c3-c5_group4_1x_coco.py
+# (variant row emitted by tools/misc/gen_config_variants.py).
+_base_ = ['../faster_rcnn/faster_rcnn_r50_fpn_1x.py']
+model = dict(backbone_cfg=dict(type='ResNet',
+         depth=50,
+         dcn=dict(type='DCNv2', deform_groups=4, fallback_on_stride=False),
+         stage_with_dcn=(False, True, True, True)))

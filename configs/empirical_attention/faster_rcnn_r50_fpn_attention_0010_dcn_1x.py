@@ -1,0 +1,6 @@
+# Counterpart of reference configs/empirical_attention/faster_rcnn_r50_fpn_attention_0010_dcn_1x_coco.py
+# (variant row emitted by tools/misc/gen_config_variants.py).
+_base_ = ['./faster_rcnn_r50_fpn_attention_0010_1x.py']
+model = dict(backbone_cfg=dict(
+    dcn=dict(type='DCN', deform_groups=1, fallback_on_stride=False),
+    stage_with_dcn=(False, True, True, True)))

@@ -1,0 +1,5 @@
+# Counterpart of reference configs/foveabox/fovea_r50_fpn_4x4_2x_coco.py
+# (variant row emitted by tools/misc/gen_config_variants.py).
+_base_ = ['fovea_r50_fpn_4x4_1x.py']
+lr_config = dict(step=[16, 22])
+runner = dict(max_epochs=24)

@@ -1,0 +1,4 @@
+# Counterpart of reference configs/hrnet/fcos_hrnetv2p_w18_gn-head_4x4_1x_coco.py
+# (variant row emitted by tools/misc/gen_config_variants.py).
+_base_ = ['../fcos/fcos_r50_fpn_1x.py']
+model = dict(backbone_cfg=dict(type='HRNet', base_width=18))

@@ -1,0 +1,6 @@
+# Counterpart of reference configs/hrnet/htc_hrnetv2p_w40_28e_coco.py
+# (variant row emitted by tools/misc/gen_config_variants.py).
+_base_ = ['../htc/htc_r50_fpn_1x.py']
+model = dict(backbone_cfg=dict(type='HRNet', base_width=40))
+lr_config = dict(step=[24, 27])
+runner = dict(max_epochs=28)

@@ -1,0 +1,5 @@
+# Counterpart of reference configs/pvt/retinanet_pvtv2-b0_fpn_1x_coco.py
+# (variant row emitted by tools/misc/gen_config_variants.py).
+_base_ = ['../retinanet/retinanet_r50_fpn_1x.py']
+model = dict(backbone_cfg=dict(type='PyramidVisionTransformerV2',
+         embed_dims=(32, 64, 160, 256)))

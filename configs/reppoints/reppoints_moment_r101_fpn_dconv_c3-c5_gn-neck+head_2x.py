@@ -1,0 +1,9 @@
+# Counterpart of reference configs/reppoints/reppoints_moment_r101_fpn_dconv_c3-c5_gn-neck+head_2x_coco.py
+# (variant row emitted by tools/misc/gen_config_variants.py).
+_base_ = ['reppoints_moment_r50_fpn_1x.py']
+model = dict(backbone_cfg=dict(type='ResNet',
+         depth=101,
+         dcn=dict(type='DCN', deform_groups=1, fallback_on_stride=False),
+         stage_with_dcn=(False, True, True, True)))
+lr_config = dict(step=[16, 22])
+runner = dict(max_epochs=24)

@@ -1,0 +1,6 @@
+# Counterpart of reference configs/res2net/mask_rcnn_r2_101_fpn_2x_coco.py
+# (variant row emitted by tools/misc/gen_config_variants.py).
+_base_ = ['../mask_rcnn/mask_rcnn_r50_fpn_1x.py']
+model = dict(backbone_cfg=dict(type='Res2Net', depth=101))
+lr_config = dict(step=[16, 22])
+runner = dict(max_epochs=24)

@@ -127,3 +127,66 @@ def test_ohem_sample_picks_hardest():
     sel = set(np.asarray(res.inds)[np.asarray(res.valid)].tolist())
     # 2 hardest positives (1, 2) and 2 hardest negatives (4, 6)
     assert sel == {1, 2, 4, 6}
+
+
+def test_sample_rois_ohem_selects_hardest_negatives():
+    """Model-level OHEM (reference OHEMSampler via
+    `train_cfg.rcnn.sampler.type='OHEMSampler'`): sample_rois with a
+    score_fn must pick the highest-loss negatives, not random ones."""
+    import jax
+    import jax.numpy as jnp
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.roi_heads.standard_roi_head import (
+        RoITrainConfig, sample_rois)
+
+    # one gt far away from all proposals -> all proposals are negatives
+    gt = jnp.array([[[0., 0., 10., 10.]]])
+    gtl = jnp.array([[0]])
+    gtv = jnp.array([[True]])
+    n = 16
+    props = jnp.stack([jnp.array([100. + 12 * i, 100., 110. + 12 * i, 110.])
+                       for i in range(n)])[None]
+    pv = jnp.ones((1, n), bool)
+    num_classes = 3
+
+    # score_fn: candidate i gets logits that make its bg CE loss grow with
+    # i (higher confidence on a WRONG class). cands = [gt | props].
+    def score_fn(cands):
+        m = cands.shape[1]
+        idx = jnp.arange(m, dtype=jnp.float32)
+        logits = jnp.zeros((1, m, num_classes + 1))
+        return logits.at[:, :, 0].set(idx * 0.5)  # wrong class conf rises
+
+    cfg = RoITrainConfig(num_samples=4, pos_fraction=0.5,
+                         use_sigmoid_cls=False, sampler_type='ohem',
+                         add_gt_as_proposals=True)
+    out = sample_rois(props, pv, gt, gtl, gtv, jax.random.PRNGKey(0),
+                      num_classes, cfg, score_fn=score_fn)
+    # 1 positive (the gt itself, index 0) + 3 hardest negatives = the
+    # LAST three proposals (highest wrong-class confidence)
+    sel_x1 = sorted(float(x) for x in out.rois[0, :, 0]
+                    if float(x) >= 100.)  # negatives only
+    expect = sorted(100. + 12 * i for i in range(n - 3, n))
+    assert sel_x1 == expect, (sel_x1, expect)
+    assert bool(jnp.any(out.is_pos[0]))
+
+
+def test_sample_rois_ohem_matches_random_interface():
+    """OHEM and random sampling return identical structure/shapes."""
+    import jax
+    import jax.numpy as jnp
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.roi_heads.standard_roi_head import (
+        RoITrainConfig, sample_rois)
+    gt = jnp.array([[[5., 5., 30., 30.], [40., 40., 60., 60.]]])
+    gtl = jnp.array([[1, 2]])
+    gtv = jnp.array([[True, True]])
+    props = jnp.array([[[4., 4., 31., 29.], [41., 39., 59., 61.],
+                        [80., 80., 95., 95.], [0., 0., 3., 3.]]])
+    pv = jnp.ones((1, 4), bool)
+    score_fn = lambda c: jnp.zeros((1, c.shape[1], 4))
+    a = sample_rois(props, pv, gt, gtl, gtv, jax.random.PRNGKey(0), 3,
+                    RoITrainConfig(num_samples=6, use_sigmoid_cls=False))
+    b = sample_rois(props, pv, gt, gtl, gtv, jax.random.PRNGKey(0), 3,
+                    RoITrainConfig(num_samples=6, use_sigmoid_cls=False,
+                                   sampler_type='ohem'), score_fn=score_fn)
+    for x, y in zip(a, b):
+        assert x.shape == y.shape

@@ -111,4 +111,4 @@ def test_all_repo_configs_build_modules():
                     warnings.simplefilter('error', UserWarning)
                     build_trunk(bb, dtype=jnp.float32)
             count += 1
-    assert count >= 59
+    assert count >= 390

@@ -151,6 +151,7 @@ REGNET_ARCH = {
     'regnetx_1.6gf': (80, 34.01, 2.25, 18, 24),
     'regnetx_3.2gf': (88, 26.31, 2.25, 25, 48),
     'regnetx_4.0gf': (96, 38.65, 2.43, 23, 40),
+    'regnetx_6.4gf': (184, 60.83, 2.07, 17, 56),
     'regnetx_8.0gf': (80, 49.56, 2.88, 23, 120),
     'regnetx_12gf': (168, 73.36, 2.37, 19, 112),
 }

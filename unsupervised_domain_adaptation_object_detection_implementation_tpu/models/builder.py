@@ -110,7 +110,9 @@ def _nested_to_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
             add_gt_as_proposals=rs.get('add_gt_as_proposals', True),
             target_stds=stds,
             use_sigmoid_cls=bbox_head.get('loss_cls', {}).get(
-                'use_sigmoid', True))
+                'use_sigmoid', True),
+            sampler_type=('ohem' if rs.get('type') == 'OHEMSampler'
+                          else 'random'))
 
     test_cfg = cfg.get('test_cfg') or {}
     if test_cfg:

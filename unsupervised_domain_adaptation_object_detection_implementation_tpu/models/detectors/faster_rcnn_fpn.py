@@ -111,10 +111,16 @@ class FasterRCNNFPN(nn.Module):
             jax.lax.stop_gradient(cls).reshape(b, n, 1, 1),
             jax.lax.stop_gradient(reg).reshape(b, n, 1, 4),
             anchors, batch['img_shape'], self.rpn_proposal_cfg)
+        score_fn = None
+        if self.roi_train_cfg.sampler_type == 'ohem':
+            # preliminary bbox-head forward over all candidates ranks
+            # hardness (reference OHEMSampler, `ohem_sampler.py:31`)
+            score_fn = lambda rois: self.bbox_head(
+                self._roi_extract(feats, rois))[0]
         sampled = sample_rois(proposals, prop_valid, batch['gt_bboxes'],
                               batch['gt_labels'], batch['gt_valid'],
                               self.make_rng('sampler'), self.num_classes,
-                              self.roi_train_cfg)
+                              self.roi_train_cfg, score_fn=score_fn)
         roi_feats = self._roi_extract(feats, sampled.rois)
         cls_s, reg_s, _ = self.bbox_head(roi_feats)
         losses.update(bbox_loss(cls_s, reg_s, sampled, self.num_classes,

@@ -21,9 +21,10 @@ from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from ...core.bbox.assigners import max_iou_assign
-from ...core.bbox.samplers import random_sample
+from ...core.bbox.samplers import ohem_sample, random_sample
 from ...core.bbox.transforms import bbox2delta, delta2bbox
 from ...core.post.nms import multiclass_nms
 from ...ops.roi_align import batched_roi_align
@@ -43,6 +44,10 @@ class RoITrainConfig(NamedTuple):
     target_means: Tuple[float, ...] = (0., 0., 0., 0.)
     target_stds: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
     use_sigmoid_cls: bool = True
+    # 'random' | 'ohem' — reference `sampler=dict(type='OHEMSampler')`
+    # (configs/faster_rcnn/faster_rcnn_r50_fpn_ohem_1x_coco.py); 'ohem'
+    # needs the detector to pass `score_fn` to :func:`sample_rois`.
+    sampler_type: str = 'random'
 
 
 class RoITestConfig(NamedTuple):
@@ -75,11 +80,20 @@ def sample_rois(proposals: jnp.ndarray,
                 gt_valid: jnp.ndarray,
                 rng: jax.Array,
                 num_classes: int,
-                cfg: RoITrainConfig = RoITrainConfig()) -> SampledRoIs:
-    """Assign+sample fixed-size RoI sets per image (vmapped)."""
+                cfg: RoITrainConfig = RoITrainConfig(),
+                score_fn=None) -> SampledRoIs:
+    """Assign+sample fixed-size RoI sets per image (vmapped).
+
+    `cfg.sampler_type='ohem'` + `score_fn` enables hard-example mining
+    (reference `core/bbox/samplers/ohem_sampler.py`): `score_fn(rois)` runs
+    a preliminary bbox-head forward over ALL candidates — (B, N, 4) →
+    (B, N, C[+1]) class scores, gradient-stopped here — and the per-candidate
+    classification loss against the assigned label ranks hardness; the
+    hardest positives/negatives replace the random draw. mmdet pays the
+    same extra forward (`ohem_sampler.py:31` hard_mining)."""
     b = proposals.shape[0]
 
-    def per_image(props, pv, gt, gtl, gtv, rng_i):
+    def assign_image(props, pv, gt, gtl, gtv):
         if cfg.add_gt_as_proposals:
             cands = jnp.concatenate([gt, props], axis=0)
             cand_valid = jnp.concatenate([gtv, pv], axis=0)
@@ -91,21 +105,46 @@ def sample_rois(proposals: jnp.ndarray,
             min_pos_iou=cfg.min_pos_iou,
             match_low_quality=cfg.match_low_quality,
             prior_valid=cand_valid)
-        sample = random_sample(rng_i, assign.assigned_gt_inds,
-                               cfg.num_samples, cfg.pos_fraction)
-        rois = cands[sample.inds]
-        matched = jnp.clip(assign.assigned_gt_inds[sample.inds] - 1, 0,
-                           gt.shape[0] - 1)
-        labels = jnp.where(sample.is_pos, gtl[matched], num_classes)
+        return cands, cand_valid, assign.assigned_gt_inds
+
+    cands, cand_valid, agi = jax.vmap(assign_image)(
+        proposals, prop_valid, gt_bboxes, gt_labels, gt_valid)
+
+    use_ohem = cfg.sampler_type == 'ohem' and score_fn is not None
+    if use_ohem:
+        scores = jax.lax.stop_gradient(score_fn(cands))  # (B, N, C[+1])
+        matched_all = jnp.clip(agi - 1, 0, gt_bboxes.shape[1] - 1)
+        labels_all = jnp.where(
+            agi > 0,
+            jnp.take_along_axis(gt_labels, matched_all, axis=1),
+            num_classes)
+        if cfg.use_sigmoid_cls:
+            onehot = jax.nn.one_hot(labels_all, scores.shape[-1],
+                                    dtype=scores.dtype)
+            per_cand = jnp.sum(
+                optax.sigmoid_binary_cross_entropy(scores, onehot), axis=-1)
+        else:
+            per_cand = optax.softmax_cross_entropy_with_integer_labels(
+                scores, jnp.clip(labels_all, 0, scores.shape[-1] - 1))
+        sample = jax.vmap(
+            lambda a, l: ohem_sample(a, l, cfg.num_samples,
+                                     cfg.pos_fraction))(agi, per_cand)
+    else:
+        rngs = jax.random.split(rng, b)
+        sample = jax.vmap(
+            lambda r, a: random_sample(r, a, cfg.num_samples,
+                                       cfg.pos_fraction))(rngs, agi)
+
+    def gather_image(cands_i, agi_i, gt, gtl, s):
+        rois = cands_i[s.inds]
+        matched = jnp.clip(agi_i[s.inds] - 1, 0, gt.shape[0] - 1)
+        labels = jnp.where(s.is_pos, gtl[matched], num_classes)
         reg_targets = bbox2delta(rois, gt[matched], cfg.target_means,
                                  cfg.target_stds)
-        return SampledRoIs(rois, labels.astype(jnp.int32), sample.valid,
-                           sample.is_pos, reg_targets,
-                           matched.astype(jnp.int32))
+        return SampledRoIs(rois, labels.astype(jnp.int32), s.valid,
+                           s.is_pos, reg_targets, matched.astype(jnp.int32))
 
-    rngs = jax.random.split(rng, b)
-    return jax.vmap(per_image)(proposals, prop_valid, gt_bboxes, gt_labels,
-                               gt_valid, rngs)
+    return jax.vmap(gather_image)(cands, agi, gt_bboxes, gt_labels, sample)
 
 
 def bbox_loss(cls_scores: jnp.ndarray,
