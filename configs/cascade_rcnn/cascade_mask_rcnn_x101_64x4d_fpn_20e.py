@@ -1,0 +1,6 @@
+# Counterpart of reference configs/cascade_rcnn/cascade_mask_rcnn_x101_64x4d_fpn_20e_coco.py
+# (variant row emitted by tools/misc/gen_config_variants.py).
+_base_ = ['cascade_mask_rcnn_r50_fpn_1x.py']
+model = dict(backbone_cfg=dict(type='ResNeXt', depth=101, groups=64, base_width=4))
+lr_config = dict(step=[16, 19])
+runner = dict(max_epochs=20)

@@ -1,0 +1,7 @@
+# Counterpart of reference configs/dcn/cascade_mask_rcnn_r101_fpn_dconv_c3-c5_1x_coco.py
+# (variant row emitted by tools/misc/gen_config_variants.py).
+_base_ = ['../cascade_rcnn/cascade_mask_rcnn_r50_fpn_1x.py']
+model = dict(backbone_cfg=dict(type='ResNet',
+         depth=101,
+         dcn=dict(type='DCN', deform_groups=1, fallback_on_stride=False),
+         stage_with_dcn=(False, True, True, True)))

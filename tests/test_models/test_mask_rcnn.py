@@ -80,3 +80,38 @@ def test_paste_masks():
     out = paste_masks(masks, boxes, 8, 8)
     assert out.shape == (1, 8, 8)
     assert out[0, 3, 3] and not out[0, 0, 0]
+
+
+def test_cascade_mask_rcnn_train_and_predict():
+    """CascadeMaskRCNN (reference cascade_mask_rcnn_* configs): per-stage
+    mask losses present; predict returns averaged-stage mask probs."""
+    import jax
+    import jax.numpy as jnp
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors import (
+        CascadeMaskRCNN)
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.dense_heads.rpn_head import (
+        ProposalConfig)
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.roi_heads.standard_roi_head import (
+        RoITestConfig)
+
+    m = CascadeMaskRCNN(
+        num_classes=3, backbone_depth=18, num_samples=32,
+        rpn_proposal_cfg=ProposalConfig(nms_pre=256, max_per_img=64),
+        rpn_test_cfg=ProposalConfig(nms_pre=256, max_per_img=64),
+        roi_test_cfg=RoITestConfig(max_per_img=10))
+    batch = dict(
+        image=jnp.zeros((1, 64, 64, 3)),
+        gt_bboxes=jnp.array([[[4., 4., 24., 24.], [30., 30., 52., 52.]]]),
+        gt_labels=jnp.array([[0, 2]]), gt_valid=jnp.array([[True, True]]),
+        gt_masks=jnp.ones((1, 2, 28, 28)),
+        img_shape=jnp.array([[64., 64.]]))
+    v = m.init({'params': jax.random.PRNGKey(0),
+                'sampler': jax.random.PRNGKey(1)}, batch, True)
+    losses = m.apply(v, batch, True, rngs={'sampler': jax.random.PRNGKey(2)})
+    for i in range(3):
+        assert f's{i}.loss_mask' in losses
+        assert f's{i}.loss_cls' in losses
+    assert all(bool(jnp.isfinite(x)) for x in losses.values())
+    out = m.apply(v, batch, False)
+    assert out['masks'].shape == (1, 10, 28, 28)
+    assert float(out['masks'].max()) <= 1.0

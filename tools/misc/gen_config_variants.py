@@ -734,12 +734,63 @@ centernet/centernet_r18_dcnv2_140e
 yolact/yolact_r101_1x
 empirical_attention/faster_rcnn_r50_fpn_attention_0010_dcn_1x
 empirical_attention/faster_rcnn_r50_fpn_attention_1111_dcn_1x
+cascade_rcnn/cascade_mask_rcnn_r101_caffe_fpn_1x
+cascade_rcnn/cascade_mask_rcnn_r101_caffe_fpn_mstrain_3x
+cascade_rcnn/cascade_mask_rcnn_r101_fpn_1x
+cascade_rcnn/cascade_mask_rcnn_r101_fpn_20e
+cascade_rcnn/cascade_mask_rcnn_r101_fpn_mstrain_3x
+cascade_rcnn/cascade_mask_rcnn_r50_caffe_fpn_1x
+cascade_rcnn/cascade_mask_rcnn_r50_caffe_fpn_mstrain_3x
+cascade_rcnn/cascade_mask_rcnn_r50_fpn_20e
+cascade_rcnn/cascade_mask_rcnn_r50_fpn_mstrain_3x
+cascade_rcnn/cascade_mask_rcnn_x101_32x4d_fpn_1x
+cascade_rcnn/cascade_mask_rcnn_x101_32x4d_fpn_20e
+cascade_rcnn/cascade_mask_rcnn_x101_32x4d_fpn_mstrain_3x
+cascade_rcnn/cascade_mask_rcnn_x101_32x8d_fpn_mstrain_3x
+cascade_rcnn/cascade_mask_rcnn_x101_64x4d_fpn_1x
+cascade_rcnn/cascade_mask_rcnn_x101_64x4d_fpn_20e
+cascade_rcnn/cascade_mask_rcnn_x101_64x4d_fpn_mstrain_3x
+hrnet/cascade_mask_rcnn_hrnetv2p_w18_20e
+hrnet/cascade_mask_rcnn_hrnetv2p_w32_20e
+hrnet/cascade_mask_rcnn_hrnetv2p_w40_20e
+regnet/cascade_mask_rcnn_regnetx-400MF_fpn_mstrain_3x
+regnet/cascade_mask_rcnn_regnetx-800MF_fpn_mstrain_3x
+regnet/cascade_mask_rcnn_regnetx-1.6GF_fpn_mstrain_3x
+regnet/cascade_mask_rcnn_regnetx-3.2GF_fpn_mstrain_3x
+regnet/cascade_mask_rcnn_regnetx-4GF_fpn_mstrain_3x
+dcn/cascade_mask_rcnn_r101_fpn_dconv_c3-c5_1x
+dcn/cascade_mask_rcnn_r50_fpn_dconv_c3-c5_1x
+dcn/cascade_mask_rcnn_x101_32x4d_fpn_dconv_c3-c5_1x
+gcnet/cascade_mask_rcnn_x101_32x4d_fpn_syncbn-backbone_1x
+gcnet/cascade_mask_rcnn_x101_32x4d_fpn_syncbn-backbone_dconv_c3-c5_1x
+gcnet/cascade_mask_rcnn_x101_32x4d_fpn_syncbn-backbone_dconv_c3-c5_r16_gcb_c3-c5_1x
+gcnet/cascade_mask_rcnn_x101_32x4d_fpn_syncbn-backbone_dconv_c3-c5_r4_gcb_c3-c5_1x
+gcnet/cascade_mask_rcnn_x101_32x4d_fpn_syncbn-backbone_r16_gcb_c3-c5_1x
+gcnet/cascade_mask_rcnn_x101_32x4d_fpn_syncbn-backbone_r4_gcb_c3-c5_1x
+res2net/cascade_mask_rcnn_r2_101_fpn_20e
+resnest/cascade_mask_rcnn_s101_fpn_syncbn-backbone+head_mstrain_1x
+resnest/cascade_mask_rcnn_s50_fpn_syncbn-backbone+head_mstrain_1x
 instaboost/mask_rcnn_r101_fpn_instaboost_4x
 instaboost/mask_rcnn_x101_64x4d_fpn_instaboost_4x
+instaboost/cascade_mask_rcnn_r50_fpn_instaboost_4x
+instaboost/cascade_mask_rcnn_r101_fpn_instaboost_4x
+instaboost/cascade_mask_rcnn_x101_64x4d_fpn_instaboost_4x
 """
 
 # rows needing custom override bodies (emitted verbatim after the header)
 SPECIAL = {
+    'instaboost/cascade_mask_rcnn_r50_fpn_instaboost_4x': (
+        "_base_ = ['./mask_rcnn_r50_fpn_instaboost_4x.py']\n"
+        "model = dict(type='CascadeMaskRCNN')\n"),
+    'instaboost/cascade_mask_rcnn_r101_fpn_instaboost_4x': (
+        "_base_ = ['./mask_rcnn_r50_fpn_instaboost_4x.py']\n"
+        "model = dict(type='CascadeMaskRCNN',\n"
+        "             backbone_cfg=dict(type='ResNet', depth=101))\n"),
+    'instaboost/cascade_mask_rcnn_x101_64x4d_fpn_instaboost_4x': (
+        "_base_ = ['./mask_rcnn_r50_fpn_instaboost_4x.py']\n"
+        "model = dict(type='CascadeMaskRCNN',\n"
+        "             backbone_cfg=dict(type='ResNeXt', depth=101,\n"
+        "                               groups=64, base_width=4))\n"),
     'empirical_attention/faster_rcnn_r50_fpn_attention_0010_dcn_1x': (
         "_base_ = ['./faster_rcnn_r50_fpn_attention_0010_1x.py']\n"
         "model = dict(backbone_cfg=dict(\n"

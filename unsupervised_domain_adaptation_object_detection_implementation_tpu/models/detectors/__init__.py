@@ -5,7 +5,7 @@ from .retinanet import RetinaNet, RetinaHead, RetinaSepBNHead
 from .faster_rcnn_fpn import FasterRCNNFPN, FPNRPNHead
 from .fcos import FCOS, FCOSHead
 from .mask_rcnn import MaskRCNN, paste_masks
-from .cascade_rcnn import CascadeRCNN
+from .cascade_rcnn import CascadeRCNN, CascadeMaskRCNN
 from .yolov3 import YOLOV3, YOLOV3Neck
 from .atss import ATSS, ATSSHead
 from .centernet import CenterNet, CenterNetHead
@@ -45,7 +45,7 @@ from .centripetal import CentripetalNet, CentripetalPredictor
 from .panoptic_fpn import (PanopticFPN, PanopticFPNHead, heuristic_fuse,
                            INSTANCE_OFFSET)
 
-__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'RetinaSepBNHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead', 'YOLOX', 'YOLOXHead',
+__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'RetinaSepBNHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'CascadeMaskRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead', 'YOLOX', 'YOLOXHead',
            'VFNet', 'VFNetHead', 'RepPoints', 'RepPointsHead',
            'points2bbox_moment', 'YOLOF', 'YOLOFHead', 'FSAF', 'FSAFHead',
            'FoveaBox', 'FoveaHead', 'FreeAnchor', 'AutoAssign', 'PAA',

@@ -155,3 +155,86 @@ class CascadeRCNN(nn.Module):
         if train:
             return self.loss(batch)
         return self.predict(batch)
+
+
+@DETECTORS.register_module()
+class CascadeMaskRCNN(CascadeRCNN):
+    """Cascade Mask R-CNN (reference `configs/cascade_rcnn/
+    cascade_mask_rcnn_*`, `mmdet/models/roi_heads/cascade_roi_head.py`
+    with mask_head list): the three-stage bbox cascade plus one FCN mask
+    head per stage. Each stage's mask head trains on that stage's sampled
+    RoIs (positives weighted); at test time the three heads run on the
+    final detections and their sigmoid maps are averaged (mmdet
+    `CascadeRoIHead.simple_test_mask` semantics)."""
+
+    mask_size: int = 28
+
+    def setup(self):
+        super().setup()
+        from ..roi_heads.mask_head import FCNMaskHead
+        self.mask_heads = [
+            FCNMaskHead(num_classes=self.num_classes, dtype=self.dtype,
+                        name=f'mask_head_{i}')
+            for i in range(3)
+        ]
+
+    def loss(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        from ..roi_heads.mask_head import (mask_loss,
+                                           mask_targets_from_box_frame)
+        feats, cls, reg, anchors = self._flat_rpn(batch['image'])
+        b, n = cls.shape
+        losses = rpn_loss(cls.reshape(b, n, 1, 1), reg.reshape(b, n, 1, 4),
+                          anchors, batch['gt_bboxes'], batch['gt_valid'],
+                          batch['img_shape'], self.make_rng('sampler'),
+                          self.rpn_train_cfg)
+        proposals, _, prop_valid = rpn_proposals(
+            jax.lax.stop_gradient(cls).reshape(b, n, 1, 1),
+            jax.lax.stop_gradient(reg).reshape(b, n, 1, 4),
+            anchors, batch['img_shape'], self.rpn_proposal_cfg)
+
+        boxes, box_valid = proposals, prop_valid
+        for i, head in enumerate(self.bbox_heads):
+            cfg = self._stage_cfg(i)
+            sampled = sample_rois(boxes, box_valid, batch['gt_bboxes'],
+                                  batch['gt_labels'], batch['gt_valid'],
+                                  self.make_rng('sampler'), self.num_classes,
+                                  cfg)
+            roi_feats = extract_roi_feats_fpn(feats, sampled.rois)
+            cls_s, reg_s, _ = head(roi_feats)
+            stage_losses = bbox_loss(cls_s, reg_s, sampled, self.num_classes,
+                                     cfg)
+            mask_feats = extract_roi_feats_fpn(feats, sampled.rois,
+                                               out_size=self.mask_size // 2)
+            mask_logits = self.mask_heads[i](mask_feats)
+            targets = mask_targets_from_box_frame(
+                batch['gt_masks'], batch['gt_bboxes'], sampled.rois,
+                sampled.matched_gt, self.mask_size)
+            pos_w = (sampled.is_pos & sampled.label_valid).astype(jnp.float32)
+            stage_losses.update(mask_loss(mask_logits, targets,
+                                          sampled.labels, pos_w))
+            for k, v in stage_losses.items():
+                losses[f's{i}.{k}'] = v * STAGE_WEIGHTS[i]
+            refined = delta2bbox(sampled.rois,
+                                 jax.lax.stop_gradient(reg_s).astype(
+                                     jnp.float32),
+                                 stds=cfg.target_stds)
+            refined = clip_boxes(
+                refined, batch['img_shape'][:, None, :].astype(jnp.float32))
+            boxes, box_valid = refined, sampled.label_valid
+        return losses
+
+    def predict(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        out = super().predict(batch)
+        feats = self.neck(self.backbone(batch['image'].astype(self.dtype)))
+        det_boxes = out['dets'][..., :4]
+        mask_feats = extract_roi_feats_fpn(feats, det_boxes,
+                                           out_size=self.mask_size // 2)
+        prob_sum = 0.0
+        for head in self.mask_heads:
+            prob_sum = prob_sum + jax.nn.sigmoid(
+                head(mask_feats).astype(jnp.float32))
+        probs = prob_sum / 3.0                          # (B, D, 2s, 2s, C)
+        lbl = jnp.clip(out['labels'], 0, self.num_classes - 1)
+        out['masks'] = jnp.take_along_axis(
+            probs, lbl[..., None, None, None], axis=-1)[..., 0]
+        return out
