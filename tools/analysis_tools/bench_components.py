@@ -3,8 +3,17 @@
 Times progressively larger subgraphs (trunk fwd+bwd → +RPN loss →
 +proposals/NMS → full DA step) at the bench shape, isolating where the
 ~126 ms step goes. Results drive the r2 perf work (VERDICT item 3).
+
+`--fpn` additionally times a Faster R-CNN R50-FPN train step (the
+multi-level family) at the same canvas and reports img/s + MFU, so perf
+claims generalize beyond the DC5 flagship (VERDICT r2 item 7).
 """
+import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
 import jax
 import jax.numpy as jnp
@@ -78,5 +87,56 @@ def main():
         print('loss-only timing skipped:', str(e)[:120])
 
 
+def fpn_mfu():
+    """Faster R-CNN R50-FPN train-step throughput + MFU at bench shapes."""
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.faster_rcnn_fpn import (  # noqa: E501
+        FasterRCNNFPN)
+
+    model = FasterRCNNFPN(num_classes=8, backbone_depth=50,
+                          dtype=jnp.bfloat16)
+    batch = _demo_batch(b=B, h=H, w=W)
+    k = jax.random.PRNGKey(0)
+    var_shapes = jax.eval_shape(
+        lambda: model.init({'params': k, 'sampler': k, 'dropout': k},
+                           batch, train=True))
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), var_shapes)
+    state, tx = create_train_state(model, variables, OptimizerSpec(),
+                                   frozen_stages=1)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=0)
+    rng = jax.random.key(1, impl='rbg')
+
+    lowered = step.lower(state, batch, rng)
+    cost = lowered.compile().cost_analysis() or {}
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    step_flops = float(cost.get('flops', 0.0))
+
+    state, m = step(state, batch, rng)
+    float(jax.device_get(m['loss']))
+    for _ in range(2):
+        state, m = step(state, batch, rng)
+    float(jax.device_get(m['loss']))
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, rng)
+    float(jax.device_get(m['loss']))
+    dt = time.perf_counter() - t0
+    ips = B * iters / dt
+    mfu = step_flops * iters / dt / 197e12   # v5e bf16 peak
+    print(f'{"Faster R-CNN R50-FPN step":<28}: {dt / iters * 1e3:8.2f} ms '
+          f'({ips:.1f} img/s, {step_flops / 1e12:.2f} TF/step, '
+          f'MFU {mfu:.3f})')
+
+
 if __name__ == '__main__':
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--fpn', action='store_true',
+                    help='also time the R50-FPN family step (img/s + MFU)')
+    ap.add_argument('--fpn-only', action='store_true')
+    a = ap.parse_args()
+    if not a.fpn_only:
+        main()
+    if a.fpn or a.fpn_only:
+        fpn_mfu()
