@@ -80,8 +80,9 @@ def test_roi_align_batched_and_grad():
 
 
 def test_roi_align_flatten_matches_5d():
-    """flatten=True must equal reshape(flatten=False) in value AND grad —
-    it only moves the repack into the scan body."""
+    """flatten=True must equal the X-MAJOR (xbin, ybin, C) reshape of
+    flatten=False in value AND grad — it only moves the repack into the
+    scan body (flatten order note in ops/roi_align.py)."""
     rng = np.random.RandomState(0)
     feat = jnp.asarray(rng.randn(2, 8, 12, 6), jnp.float32)
     rois = jnp.asarray(rng.rand(2, 5, 2, 2).cumsum(2).reshape(2, 5, 4)
@@ -90,16 +91,16 @@ def test_roi_align_flatten_matches_5d():
     flat = batched_roi_align(feat, rois, 1 / 4, out_size=7, roi_chunk=2,
                              flatten=True)
     assert flat.shape == (2, 5, 7 * 7 * 6)
-    np.testing.assert_allclose(np.asarray(flat),
-                               np.asarray(full).reshape(2, 5, -1),
-                               atol=1e-6)
+    xmajor = np.swapaxes(np.asarray(full), 2, 3).reshape(2, 5, -1)
+    np.testing.assert_allclose(np.asarray(flat), xmajor, atol=1e-6)
     w = jnp.asarray(rng.randn(2, 5, 7, 7, 6), jnp.float32)
+    w_flat = jnp.swapaxes(w, 2, 3).reshape(2, 5, -1)
     g_full = jax.grad(lambda x: jnp.sum(
         batched_roi_align(x, rois, 1 / 4, out_size=7, roi_chunk=2)
         * w))(feat)
     g_flat = jax.grad(lambda x: jnp.sum(
         batched_roi_align(x, rois, 1 / 4, out_size=7, roi_chunk=2,
-                          flatten=True) * w.reshape(2, 5, -1)))(feat)
+                          flatten=True) * w_flat))(feat)
     np.testing.assert_allclose(np.asarray(g_flat), np.asarray(g_full),
                                atol=1e-5)
 

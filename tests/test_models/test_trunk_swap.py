@@ -160,3 +160,38 @@ def test_round2_trunk_neck_loss_options_build(det, extra):
     if det == 'MaskRCNN':
         batch = dict(batch, gt_masks=jnp.zeros((1, 4, 64, 64)))
     assert _n_params(model, batch) > 1e6
+
+
+def test_remat_matches_plain_in_value_and_grad():
+    """`remat=True` (and mmdet `with_cp=True` via the translator) must be
+    numerically invisible: same outputs, same grads, only the backward
+    memory/FLOP trade changes."""
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3), jnp.float32)
+    plain = ResNet(depth=18, frozen_stages=-1)
+    rem = ResNet(depth=18, frozen_stages=-1, remat=True)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    y0 = plain.apply(variables, x)
+    y1 = rem.apply(variables, x)
+    for a, b in zip(y0, y1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def loss(params, mod):
+        out = mod.apply({'params': params, **{k: variables[k]
+                                              for k in variables
+                                              if k != 'params'}}, x)
+        return sum(jnp.sum(o ** 2) for o in out)
+
+    g0 = jax.grad(loss)(variables['params'], plain)
+    g1 = jax.grad(loss)(variables['params'], rem)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    assert len(flat0) == len(flat1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_with_cp_translates_to_remat():
+    trunk = build_trunk({'type': 'ResNet', 'depth': 18, 'with_cp': True},
+                        dtype=jnp.float32)
+    assert trunk.remat is True

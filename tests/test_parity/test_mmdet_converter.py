@@ -126,8 +126,9 @@ def test_first_fc_permutation_is_functional():
     y_torch = torch.nn.functional.linear(
         torch.tensor(feat_chw.reshape(-1)), torch.tensor(W)).numpy()
     K = conv._first_fc(W, roi_size=S)
-    feat_hwc = np.transpose(feat_chw, (1, 2, 0))
-    y_ours = feat_hwc.reshape(-1) @ K
+    # our flatten is x-major (W, H, C) — ops/roi_align.py flatten note
+    feat_whc = np.transpose(feat_chw, (2, 1, 0))
+    y_ours = feat_whc.reshape(-1) @ K
     np.testing.assert_allclose(y_ours, y_torch, atol=1e-4)
 
 

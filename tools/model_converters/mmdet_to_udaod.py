@@ -45,11 +45,13 @@ def _linear(w: np.ndarray) -> np.ndarray:
 
 
 def _first_fc(w: np.ndarray, roi_size: int = 7) -> np.ndarray:
-    """(O, C*S*S) channel-major → (S*S*C, O) channel-last."""
+    """(O, C*S*S) channel-major → (S*S*C, O) in the x-major (W, H, C)
+    flatten order used by `extract_roi_feats(flatten=True)` / the bbox
+    head (see ops/roi_align.py:batched_roi_align flatten-order note)."""
     out, flat = w.shape
     c = flat // (roi_size * roi_size)
     w = w.reshape(out, c, roi_size, roi_size)      # O, C, H, W
-    w = np.transpose(w, (2, 3, 1, 0))              # H, W, C, O
+    w = np.transpose(w, (3, 2, 1, 0))              # W, H, C, O
     return w.reshape(flat, out)
 
 

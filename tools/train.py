@@ -46,8 +46,12 @@ def main(argv=None):
         'work_dirs', os.path.splitext(os.path.basename(args.config))[0])
     os.makedirs(work_dir, exist_ok=True)
     cfg.dump(os.path.join(work_dir, 'config.py'))
+    # config-level fallbacks, reference runner semantics (cfg.load_from /
+    # cfg.resume_from honored when the flag is absent)
+    load_from = args.load_from or cfg.get('load_from')
+    resume_from = args.resume_from or cfg.get('resume_from')
     metrics = train_detector(
-        cfg, work_dir, resume_from=args.resume_from, load_from=args.load_from,
+        cfg, work_dir, resume_from=resume_from, load_from=load_from,
         pretrained_backbone=args.pretrained_backbone, seed=args.seed,
         max_epochs=args.max_epochs, n_devices=args.n_devices,
         launcher=None if args.launcher == 'none' else args.launcher,

@@ -36,7 +36,7 @@ BACKBONE_ALIASES: Dict[str, Any] = {
 # silently rather than warned about.
 _TORCH_ONLY_KEYS = frozenset({
     'init_cfg', 'norm_eval', 'style', 'pretrained',
-    'with_cp', 'zero_init_residual',
+    'zero_init_residual',
     'act_cfg', 'pretrain_img_size', 'convert_weights',
 })
 
@@ -63,6 +63,10 @@ def _translate_mmdet_keys(cfg: Dict[str, Any]) -> Dict[str, Any]:
         dd = dict(dcn) if not isinstance(dcn, dict) else dcn
         typ = str(dd.get('type', 'DCN')).lower()
         cfg.setdefault('dcn', 'dcnv2' if typ == 'dcnv2' else 'dcn')
+    # mmdet `with_cp=True` IS activation checkpointing (torch.utils
+    # .checkpoint per block) — map to jax.checkpoint remat, same semantics
+    if cfg.pop('with_cp', False):
+        cfg.setdefault('remat', True)
     if 'plugins' in cfg:
         cfg['plugins'] = freeze_trunk_cfg({'p': cfg['plugins']})[0][1]
     return cfg

@@ -235,6 +235,11 @@ class ResNet(nn.Module):
     # ((('cfg', frozen_cfg), ('position', ...), ('stages', ...)), ...) —
     # the reference's `plugins=[dict(cfg=..., stages=..., position=...)]`
     plugins: Tuple = ()
+    # rematerialize each residual block's activations in the backward pass
+    # (jax.checkpoint): trades ~1/3 extra trunk FLOPs for dropping the
+    # per-block activation HBM — the TPU lever for large canvases/batches
+    # (no reference counterpart; torch equivalent is checkpoint_sequential)
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def stage_channels(self) -> Tuple[int, ...]:
@@ -292,7 +297,8 @@ class ResNet(nn.Module):
                         groups=self.groups, base_width=self.base_width,
                         dcn=self.dcn if self.stage_with_dcn[i] else '',
                         plugins=tuple(stage_plugins))
-                x = block_cls(
+                cls = nn.remat(block_cls) if self.remat else block_cls
+                x = cls(
                     planes=planes,
                     stride=self.strides[i] if first else 1,
                     dilation=self.dilations[i],

@@ -57,9 +57,12 @@ class Shared2FCBBoxHead(nn.Module):
         from `extract_roi_feats(flatten=True)` — → cls (..., R, K+1) — or
         (..., R, K+2) seesaw layout — reg (..., R, 4 or K*4),
         shared_feat (..., R, 1024)."""
-        if roi_feats.ndim >= 4:          # (..., o, o, C): flatten last 3
-            flat = roi_feats.reshape(*roi_feats.shape[:-3], -1)
-        else:                            # already (..., o·o·C)
+        if roi_feats.ndim >= 4:          # (..., yb, xb, C): flatten last 3
+            # x-major order, matching extract_roi_feats(flatten=True) —
+            # see ops/roi_align.py:batched_roi_align flatten-order note
+            flat = jnp.swapaxes(roi_feats, -3, -2).reshape(
+                *roi_feats.shape[:-3], -1)
+        else:                            # already (..., o·o·C) x-major
             flat = roi_feats
         x = nn.relu(nn.Dense(self.fc_out_channels, dtype=self.dtype,
                              name='shared_fc1')(flat))

@@ -173,6 +173,17 @@ def batched_roi_align(feats: jnp.ndarray, rois: jnp.ndarray,
     ~800 MB repack (xprof: 2.8 ms fwd + 2.8 ms bwd at bench shapes);
     per-chunk the repack happens in VMEM as part of the einsum's output
     write. Use for consumers that want the flat form (Shared2FC head).
+
+    FLATTEN ORDER IS (xbin, ybin, C) — x-major, NOT the (ybin, xbin, C)
+    a row-major reshape of the 5-D form gives. Rationale: the y-interp
+    dot's natural output layout is xbin-outer ({3,1,2,0} on (r,yb,xb,c)),
+    so an x-major flatten is a bitcast while a y-major one materializes
+    the 822 MB result twice more per step (xprof at bench shapes:
+    convert-copy 1.2 ms + reshape-copy 2.6 ms fwd, again in bwd; x-major
+    measured −2.9 ms/step fwd+bwd). The order is internal: every
+    consumer/producer pair agrees (`bbox_head.py` flattens 5-D input the
+    same way; `tools/model_converters/mmdet_to_udaod.py:_first_fc`
+    permutes imported torch fc weights to match).
     """
     b, h, w, c = feats.shape
     n = rois.shape[1]
@@ -199,7 +210,10 @@ def batched_roi_align(feats: jnp.ndarray, rois: jnp.ndarray,
                          preferred_element_type=jnp.float32)
         out = out.astype(feats.dtype)
         if flatten:
-            out = out.reshape(chunk, out_size * out_size * c)
+            # x-major flatten (see docstring): matches the dot's natural
+            # layout, so swap+reshape is a bitcast instead of two copies
+            out = jnp.swapaxes(out, 1, 2).reshape(
+                chunk, out_size * out_size * c)
         return carry, out
 
     _, out = jax.lax.scan(one_chunk, 0, (img_idx, wy_ch, wx_ch))
