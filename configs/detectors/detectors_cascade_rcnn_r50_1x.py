@@ -1,0 +1,8 @@
+# Counterpart of reference configs/detectors/detectors_cascade_rcnn_r50_1x_coco.py
+# (Cascade R-CNN + RFP + SAC)
+_base_ = [
+    '../_base_/datasets/coco_detection.py',
+    '../_base_/schedules/schedule_1x.py',
+    '../_base_/default_runtime.py',
+]
+model = dict(type='DetectoRSCascadeRCNN', backbone_depth=50, num_classes=80)

@@ -1,0 +1,3 @@
+# Counterpart of reference configs/ld/ld_r34_gflv1_r101_fpn_coco_1x.py
+_base_ = ['./ld_r18_gflv1_r101_1x.py']
+model = dict(backbone_depth=34)

@@ -1,0 +1,18 @@
+# Counterpart of reference configs/lvis/mask_rcnn_x101_64x4d_fpn_sample1e-3_mstrain_1x_lvis_v1.py
+_base_ = [
+    '../_base_/datasets/lvis_v1_instance.py',
+    '../_base_/schedules/schedule_1x.py',
+    '../_base_/default_runtime.py',
+]
+model = dict(type='MaskRCNN', num_classes=1203, backbone_cfg=dict(type='ResNeXt', depth=101, groups=64, base_width=4))
+data = dict(train=dict(dataset=dict(pipeline=[
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations', with_bbox=True, with_mask=True),
+    dict(type='Resize', img_scale=[(1333, 640), (1333, 672), (1333, 704),
+                                   (1333, 736), (1333, 768), (1333, 800)],
+         multiscale_mode='value', keep_ratio=True),
+    dict(type='RandomFlip', flip_ratio=0.5),
+    dict(type='Normalize'),
+    dict(type='Pad', size=(800, 1344)),
+    dict(type='PackDetInputs', max_gt=300),
+])))

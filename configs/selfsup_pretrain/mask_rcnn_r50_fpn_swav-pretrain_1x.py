@@ -1,0 +1,3 @@
+# Counterpart of reference configs/selfsup_pretrain/mask_rcnn_r50_fpn_swav-pretrain_1x_coco.py
+_base_ = ['./mask_rcnn_r50_fpn_mocov2-pretrain_1x.py']
+# weights: tools/model_converters/torchvision_to_udaod.py --selfsup swav

@@ -1,0 +1,14 @@
+# Counterpart of reference configs/selfsup_pretrain/mask_rcnn_r50_fpn_swav-pretrain_ms-2x_coco.py
+_base_ = ['./mask_rcnn_r50_fpn_mocov2-pretrain_1x.py']
+lr_config = dict(step=[16, 22])
+runner = dict(max_epochs=24)
+data = dict(train=dict(pipeline=[
+    dict(type='LoadImageFromFile'),
+    dict(type='LoadAnnotations', with_bbox=True, with_mask=True),
+    dict(type='Resize', img_scale=[(1333, 640), (1333, 800)],
+         multiscale_mode='range', keep_ratio=True),
+    dict(type='RandomFlip', flip_ratio=0.5),
+    dict(type='Normalize'),
+    dict(type='Pad', size=(800, 1344)),
+    dict(type='PackDetInputs', max_gt=100),
+]))

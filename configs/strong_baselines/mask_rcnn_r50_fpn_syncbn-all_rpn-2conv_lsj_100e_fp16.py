@@ -1,0 +1,7 @@
+# Counterpart of reference configs/strong_baselines/mask_rcnn_r50_fpn_syncbn-all_rpn-2conv_lsj_100e_fp16_coco.py
+# (large-scale-jitter recipe; syncbn tokens are n/a under one SPMD
+# program — docs/PARITY.md)
+_base_ = ['./mask_rcnn_r50_fpn_gn-all_lsj_50e.py']
+lr_config = dict(step=[88, 96])
+runner = dict(max_epochs=100)
+fp16 = dict(loss_scale=512.)

@@ -12,9 +12,13 @@ Usage: python tools/analysis_tools/step_ablation.py [--iters 10]
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
 
 def main():

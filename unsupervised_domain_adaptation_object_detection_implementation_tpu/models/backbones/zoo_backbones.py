@@ -314,6 +314,9 @@ class SSDVGG(nn.Module):
     depth: int = 16
     out_feature_channels: Sequence[int] = (512, 1024, 512, 256, 256, 256)
     l2_scale: float = 20.0
+    # 4 → six levels (SSD300 tower); 5 → seven (SSD512, extra stride-2
+    # stage in place of the two valid-conv stages)
+    num_extras: int = 4
     dtype: jnp.dtype = jnp.float32
 
     def stage_channels(self) -> Tuple[int, ...]:
@@ -352,8 +355,13 @@ class SSDVGG(nn.Module):
         outs.append(x)
 
         # extras: (1x1 reduce, 3x3) pairs; first two stride 2, rest valid
-        extra_cfg = [(256, 512, 2, 1), (128, 256, 2, 1),
-                     (128, 256, 1, 0), (128, 256, 1, 0)]
+        if self.num_extras == 5:       # SSD512 tower: all stride-2
+            extra_cfg = [(256, 512, 2, 1), (128, 256, 2, 1),
+                         (128, 256, 2, 1), (128, 256, 2, 1),
+                         (128, 256, 2, 1)]
+        else:
+            extra_cfg = [(256, 512, 2, 1), (128, 256, 2, 1),
+                         (128, 256, 1, 0), (128, 256, 1, 0)]
         for i, (c1, c2, s, p) in enumerate(extra_cfg):
             x = nn.relu(nn.Conv(c1, (1, 1), dtype=self.dtype,
                                 name=f'extra{i}_1')(x))

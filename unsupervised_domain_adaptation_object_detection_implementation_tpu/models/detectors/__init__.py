@@ -9,7 +9,7 @@ from .cascade_rcnn import CascadeRCNN, CascadeMaskRCNN
 from .yolov3 import YOLOV3, YOLOV3Neck
 from .atss import ATSS, ATSSHead
 from .centernet import CenterNet, CenterNetHead
-from .ssd import SSDLite
+from .ssd import SSD, SSDLite
 from .detr import DETR, TransformerLayer
 from .gfl import GFL, GFLHead
 from .yolox import YOLOX, YOLOXHead
@@ -45,7 +45,7 @@ from .centripetal import CentripetalNet, CentripetalPredictor
 from .panoptic_fpn import (PanopticFPN, PanopticFPNHead, heuristic_fuse,
                            INSTANCE_OFFSET)
 
-__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'RetinaSepBNHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'CascadeMaskRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead', 'YOLOX', 'YOLOXHead',
+__all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAFasterRCNN', 'DISC_KEYS', 'RetinaNet', 'RetinaHead', 'RetinaSepBNHead', 'FasterRCNNFPN', 'FPNRPNHead', 'FCOS', 'FCOSHead', 'MaskRCNN', 'paste_masks', 'CascadeRCNN', 'CascadeMaskRCNN', 'YOLOV3', 'YOLOV3Neck', 'ATSS', 'ATSSHead', 'CenterNet', 'CenterNetHead', 'SSD', 'SSDLite', 'DETR', 'TransformerLayer', 'GFL', 'GFLHead', 'YOLOX', 'YOLOXHead',
            'VFNet', 'VFNetHead', 'RepPoints', 'RepPointsHead',
            'points2bbox_moment', 'YOLOF', 'YOLOFHead', 'FSAF', 'FSAFHead',
            'FoveaBox', 'FoveaHead', 'FreeAnchor', 'AutoAssign', 'PAA',

@@ -47,6 +47,8 @@ class MaskRCNN(nn.Module):
     # K+2 head, seesaw CE + objectness CE, running per-class counts kept
     # in the batch_stats collection so the jitted train step updates them)
     loss_cls: str = 'softmax'
+    # seesaw `*_normed_mask_*` rows: NormedConv2d mask predictor
+    normed_mask: bool = False
     frozen_stages: int = 1
     rpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
     rpn_train_cfg: RPNTrainConfig = RPNTrainConfig()
@@ -72,6 +74,7 @@ class MaskRCNN(nn.Module):
             num_classes=self.num_classes, in_channels=256,
             seesaw=self.loss_cls == 'seesaw', dtype=self.dtype)
         self.mask_head = FCNMaskHead(num_classes=self.num_classes,
+                                     normed_predictor=self.normed_mask,
                                      dtype=self.dtype)
         if self.loss_cls == 'seesaw':
             self.seesaw_cum = self.variable(

@@ -569,3 +569,103 @@ class CascadeRPN(nn.Module):
 
     def __call__(self, batch, train: bool = True):
         return self.loss(batch) if train else self.predict(batch)
+
+
+@DETECTORS.register_module()
+class GAFasterRCNN(GARPN):
+    """GA-Faster R-CNN (reference `configs/guided_anchoring/
+    ga_faster_*.py`: GA-RPN proposals + the standard Shared2FC RoI head;
+    the reference's `rpn_head=GARPNHead` two-stage assembly)."""
+
+    num_classes: int = 80
+    rpn_proposal_cfg: ProposalConfig = ProposalConfig(nms_pre=2048,
+                                                      max_per_img=300)
+    roi_train_cfg: RoITrainConfig = RoITrainConfig(use_sigmoid_cls=False)
+    roi_test_cfg: RoITestConfig = RoITestConfig()
+
+    def setup(self):
+        super().setup()
+        self.bbox_head = Shared2FCBBoxHead(
+            num_classes=self.num_classes, in_channels=256, dtype=self.dtype)
+
+    _GA_STDS = (0.07, 0.07, 0.14, 0.14)
+
+    def _ga_proposals(self, loc, cls, reg, anchors, img_shape,
+                      cfg: ProposalConfig):
+        """GARPN.predict's per-image path, returning (B, P, 4) + valid."""
+        keep = jax.nn.sigmoid(loc) >= self.loc_filter_thr
+        score = jnp.where(keep, cls[..., 0], NEG_INF)
+
+        def per_image(score_i, reg_i, anch_i, shape_i):
+            k = min(cfg.nms_pre, score_i.shape[0])
+            top, idx = jax.lax.top_k(score_i, k)
+            boxes = delta2bbox(anch_i[idx], reg_i[idx],
+                               stds=jnp.asarray(self._GA_STDS))
+            boxes = clip_boxes(boxes, shape_i.astype(boxes.dtype))
+            kp, _ = nms(boxes, top, cfg.nms_iou_threshold, cfg.nms_tile)
+            kept = jnp.where(kp, top, NEG_INF)
+            p = min(cfg.max_per_img, k)
+            sc, sel = jax.lax.top_k(kept, p)
+            valid = sc > NEG_INF / 2
+            return boxes[sel] * valid[:, None], valid
+
+        return jax.vmap(per_image)(score, reg, anchors, img_shape)
+
+    def loss(self, batch):
+        loc, shape, cls, reg, anchors, centers, strides, levels = \
+            self._flat(batch['image'])
+        feats = self.neck(self.backbone(batch['image'].astype(self.dtype)))
+        losses = self._ga_losses(loc, anchors, centers, strides, levels,
+                                 batch)
+        sg_anchors = jax.lax.stop_gradient(anchors)
+
+        def per_image(cls_i, reg_i, anch_i, gt, gtv):
+            a = max_iou_assign(anch_i, gt, gtv, None, pos_iou_thr=0.7,
+                               neg_iou_thr=0.3, min_pos_iou=0.3)
+            pos = a.assigned_gt_inds > 0
+            neg = a.assigned_gt_inds == 0
+            chosen = pos | neg
+            cls_l = binary_cross_entropy(
+                cls_i[..., 0], pos.astype(jnp.float32),
+                weight=chosen.astype(jnp.float32), reduction='sum')
+            m = jnp.clip(a.assigned_gt_inds - 1, 0, gt.shape[0] - 1)
+            tgt = bbox2delta(anch_i, gt[m], stds=self._GA_STDS)
+            reg_l = smooth_l1_loss(reg_i, tgt,
+                                   weight=pos[:, None].astype(jnp.float32),
+                                   beta=1.0, reduction='sum')
+            return cls_l, reg_l, jnp.sum(pos), jnp.sum(chosen)
+
+        cls_l, reg_l, npos, cnt = jax.vmap(per_image)(
+            cls, reg, sg_anchors, batch['gt_bboxes'], batch['gt_valid'])
+        losses.update(loss_rpn_cls=jnp.sum(cls_l)
+                      / jnp.maximum(jnp.sum(cnt), 1.0),
+                      loss_rpn_bbox=jnp.sum(reg_l)
+                      / jnp.maximum(jnp.sum(npos), 1.0))
+
+        proposals, prop_valid = self._ga_proposals(
+            jax.lax.stop_gradient(loc), jax.lax.stop_gradient(cls),
+            jax.lax.stop_gradient(reg), sg_anchors, batch['img_shape'],
+            self.rpn_proposal_cfg)
+        sampled = sample_rois(proposals, prop_valid, batch['gt_bboxes'],
+                              batch['gt_labels'], batch['gt_valid'],
+                              self.make_rng('sampler'), self.num_classes,
+                              self.roi_train_cfg)
+        roi_feats = extract_roi_feats_fpn(feats, sampled.rois)
+        cls_s, reg_s, _ = self.bbox_head(roi_feats)
+        losses.update(bbox_loss(cls_s, reg_s, sampled, self.num_classes,
+                                self.roi_train_cfg))
+        return losses
+
+    def predict(self, batch):
+        loc, shape, cls, reg, anchors, *_ = self._flat(batch['image'])
+        feats = self.neck(self.backbone(batch['image'].astype(self.dtype)))
+        proposals, prop_valid = self._ga_proposals(
+            loc, cls, reg, anchors, batch['img_shape'], self.test_cfg)
+        return roi_head_predict(
+            self.bbox_head, feats, proposals, prop_valid,
+            batch['img_shape'], self.num_classes, featmap_stride=0,
+            reg_class_agnostic=False,
+            target_stds=self.roi_train_cfg.target_stds,
+            use_sigmoid_cls=self.roi_train_cfg.use_sigmoid_cls,
+            cfg=self.roi_test_cfg,
+            roi_extractor=extract_roi_feats_fpn)

@@ -172,3 +172,110 @@ class SSDLite(nn.Module):
         if train:
             return self.loss(batch)
         return self.predict(batch)
+
+
+class SSDVGGAnchors(NamedTuple):
+    """mmcv `SSDAnchorGenerator` semantics (per-level ratio lists): each
+    location gets [min-square, sqrt(min*max)-square] plus, per ratio r,
+    the (sqrt(r), 1/sqrt(r)) rectangle pair at the min size
+    (`mmdet/core/anchor/anchor_generator.py` SSDAnchorGenerator;
+    `configs/ssd/ssd300_coco.py` anchor_generator block)."""
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 100, 300)
+    min_sizes: Tuple[float, ...] = (21, 45, 99, 153, 207, 261)
+    max_sizes: Tuple[float, ...] = (45, 99, 153, 207, 261, 315)
+    level_ratios: Tuple[Tuple[float, ...], ...] = (
+        (2.0,), (2.0, 3.0), (2.0, 3.0), (2.0, 3.0), (2.0,), (2.0,))
+
+    def num_anchors_per_level(self) -> Tuple[int, ...]:
+        return tuple(2 + 2 * len(r) for r in self.level_ratios)
+
+    def flat_anchors(self, sizes) -> np.ndarray:
+        out = []
+        for (h, w), s, mn, mx, ratios in zip(
+                sizes, self.strides, self.min_sizes, self.max_sizes,
+                self.level_ratios):
+            cy = (np.arange(h) + 0.5) * s
+            cx = (np.arange(w) + 0.5) * s
+            cyx = np.stack(np.meshgrid(cy, cx, indexing='ij'),
+                           -1).reshape(-1, 2)
+            whs = [(mn, mn), (np.sqrt(mn * mx), np.sqrt(mn * mx))]
+            for r in ratios:
+                sq = np.sqrt(r)
+                whs += [(mn * sq, mn / sq), (mn / sq, mn * sq)]
+            lvl = []
+            for aw, ah in whs:
+                lvl.append(np.stack([cyx[:, 1] - aw / 2, cyx[:, 0] - ah / 2,
+                                     cyx[:, 1] + aw / 2, cyx[:, 0] + ah / 2],
+                                    -1))
+            # anchor-major per location: (loc, A, 4)
+            out.append(np.stack(lvl, 1).reshape(-1, 4).astype(np.float32))
+        return np.concatenate(out, axis=0)
+
+
+# 300-input and 512-input presets (mmcv basesize_ratio_range expansions;
+# reference `configs/ssd/ssd300_coco.py`, `ssd512_coco.py`, and the VOC
+# rows in `configs/pascal_voc/`)
+SSD300_COCO = SSDVGGAnchors()
+SSD300_VOC = SSDVGGAnchors(
+    min_sizes=(30, 60, 111, 162, 213, 264),
+    max_sizes=(60, 111, 162, 213, 264, 315))
+SSD512_COCO = SSDVGGAnchors(
+    strides=(8, 16, 32, 64, 128, 256, 512),
+    min_sizes=(20.48, 51.2, 133.12, 215.04, 296.96, 378.88, 460.8),
+    max_sizes=(51.2, 133.12, 215.04, 296.96, 378.88, 460.8, 542.72),
+    level_ratios=((2.0,), (2.0, 3.0), (2.0, 3.0), (2.0, 3.0), (2.0, 3.0),
+                  (2.0,), (2.0,)))
+SSD512_VOC = SSDVGGAnchors(
+    strides=(8, 16, 32, 64, 128, 256, 512),
+    min_sizes=(35.84, 76.8, 153.6, 230.4, 307.2, 384.0, 460.8),
+    max_sizes=(76.8, 153.6, 230.4, 307.2, 384.0, 460.8, 537.6),
+    level_ratios=((2.0,), (2.0, 3.0), (2.0, 3.0), (2.0, 3.0), (2.0, 3.0),
+                  (2.0,), (2.0,)))
+
+_VGG_ANCHOR_PRESETS = {
+    (300, 'coco'): SSD300_COCO, (300, 'voc'): SSD300_VOC,
+    (512, 'coco'): SSD512_COCO, (512, 'voc'): SSD512_VOC,
+}
+
+
+@DETECTORS.register_module()
+class SSD(SSDLite):
+    """The reference's headline VGG-16 SSD (`configs/ssd/ssd300_coco.py`,
+    `ssd512_coco.py`; detector assembled by `single_stage.py` +
+    `ssd_head.py`). Reuses SSDLite's assignment / hard-negative mining /
+    predict machinery over the SSDVGG 6- or 7-level tower."""
+
+    input_size: int = 300
+    size_preset: str = 'coco'       # 'coco' | 'voc' min/max-size expansion
+
+    def setup(self):
+        from ..backbones.zoo_backbones import SSDVGG
+        anchors = _VGG_ANCHOR_PRESETS[(self.input_size, self.size_preset)]
+        n_extra_levels = len(anchors.strides) - 2
+        self.vgg_anchors = anchors
+        self.backbone = SSDVGG(num_extras=n_extra_levels,
+                               dtype=self.dtype)
+        self.cls_heads = [
+            nn.Conv(a * (self.num_classes + 1), (3, 3),
+                    padding=[(1, 1)] * 2, dtype=self.dtype,
+                    name=f'cls_head{i}')
+            for i, a in enumerate(anchors.num_anchors_per_level())
+        ]
+        self.reg_heads = [
+            nn.Conv(a * 4, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
+                    name=f'reg_head{i}')
+            for i, a in enumerate(anchors.num_anchors_per_level())
+        ]
+
+    def _forward_flat(self, image):
+        feats = self.backbone(image.astype(self.dtype))
+        b = image.shape[0]
+        c = self.num_classes + 1
+        cls_flat, reg_flat, sizes = [], [], []
+        for i, f in enumerate(feats):
+            sizes.append((f.shape[-3], f.shape[-2]))
+            cls_flat.append(self.cls_heads[i](f).reshape(b, -1, c))
+            reg_flat.append(self.reg_heads[i](f).reshape(b, -1, 4))
+        anchors = jnp.asarray(self.vgg_anchors.flat_anchors(sizes))
+        return (jnp.concatenate(cls_flat, 1), jnp.concatenate(reg_flat, 1),
+                anchors)

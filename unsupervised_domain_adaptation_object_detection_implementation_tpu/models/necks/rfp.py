@@ -30,11 +30,15 @@ class RFP(nn.Module):
     out_channels: int = 256
     num_outs: int = 5
     frozen_stages: int = 1
+    # () → plain-conv trunk: the reference's rfp-only ablation rows
+    # (`configs/detectors/cascade_rcnn_r50_rfp_1x_coco.py`)
+    sac_stages: Any = (1, 2, 3)
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = DetectoRSResNet(depth=self.depth,
                                         frozen_stages=self.frozen_stages,
+                                        sac_stages=tuple(self.sac_stages),
                                         dtype=self.dtype)
         self.fpn = FPN(in_channels=self.backbone.stage_channels(),
                        out_channels=self.out_channels,
@@ -73,6 +77,39 @@ class DetectoRSHTC(HTC):
         super().setup()
         self.rfp = RFP(depth=self.backbone_depth,
                        frozen_stages=self.frozen_stages, dtype=self.dtype)
+
+    def _flat_rpn(self, image):
+        import numpy as np
+        from ...core.anchors.anchor_generator import AnchorGenerator
+        from ..dense_heads.anchor_head import flatten_level_preds
+        feats = self.rfp(image)
+        cls_levels, reg_levels = self.rpn_head(feats)
+        sizes = [(f.shape[-3], f.shape[-2]) for f in feats]
+        gen = AnchorGenerator(strides=list(self.rpn_strides),
+                              ratios=[0.5, 1.0, 2.0], scales=[8])
+        anchors = jnp.asarray(np.concatenate(gen.grid_priors(sizes),
+                                             axis=0))
+        cls = flatten_level_preds(cls_levels, 1)[..., 0]
+        reg = flatten_level_preds(reg_levels, 4)
+        return feats, cls, reg, anchors
+
+
+from ..detectors.cascade_rcnn import CascadeRCNN  # noqa: E402
+
+
+@DETECTORS.register_module()
+class DetectoRSCascadeRCNN(CascadeRCNN):
+    """DetectoRS cascade variant (reference
+    `configs/detectors/detectors_cascade_rcnn_r50_1x_coco.py`; the
+    rfp-only ablation row sets `sac_stages=()`)."""
+
+    sac_stages: Any = (1, 2, 3)
+
+    def setup(self):
+        super().setup()
+        self.rfp = RFP(depth=self.backbone_depth,
+                       frozen_stages=self.frozen_stages,
+                       sac_stages=tuple(self.sac_stages), dtype=self.dtype)
 
     def _flat_rpn(self, image):
         import numpy as np

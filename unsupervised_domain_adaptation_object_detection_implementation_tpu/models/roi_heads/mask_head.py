@@ -31,6 +31,12 @@ class FCNMaskHead(nn.Module):
     num_classes: int = 80
     num_convs: int = 4
     feat_channels: int = 256
+    # mmdet `predictor_cfg=dict(type='NormedConv2d')` (seesaw_loss
+    # `*_normed_mask_*` rows): L2-normalize both the final 1x1 kernel
+    # (per class, over input channels) and the features (over channels),
+    # scale by `tempearture` [sic — mmdet's spelling] = 20
+    normed_predictor: bool = False
+    normed_tempearture: float = 20.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -46,6 +52,16 @@ class FCNMaskHead(nn.Module):
             x, (*x.shape[:-3], s * 2, s * 2, x.shape[-1]), method='bilinear')
         x = nn.relu(nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1)] * 2,
                             dtype=self.dtype, name='upsample_conv')(x))
+        if self.normed_predictor:
+            w = self.param('conv_logits_kernel',
+                           nn.initializers.lecun_normal(),
+                           (self.feat_channels, self.num_classes))
+            w = w / (jnp.linalg.norm(w, axis=0, keepdims=True) + 1e-6)
+            xn = x / (jnp.linalg.norm(x.astype(jnp.float32), axis=-1,
+                                      keepdims=True) + 1e-6
+                      ).astype(x.dtype)
+            return self.normed_tempearture * jnp.einsum(
+                '...c,ck->...k', xn, w.astype(x.dtype))
         return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                        name='conv_logits')(x)
 
