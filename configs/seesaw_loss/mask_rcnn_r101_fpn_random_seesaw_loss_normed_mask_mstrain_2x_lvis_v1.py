@@ -12,7 +12,7 @@ runner = dict(type='EpochBasedRunner', max_epochs=24)
 data = dict(train=dict(_delete_=True, type='LVISV1Dataset',
                        ann_file='data/lvis_v1/annotations/lvis_v1_train.json',
                        img_prefix='data/lvis_v1/',
-                       pipeline={[
+                       pipeline=[
     dict(type='LoadImageFromFile'),
     dict(type='LoadAnnotations', with_bbox=True, with_mask=True),
     dict(type='Resize', img_scale=[(1333, 640), (1333, 672), (1333, 704),
@@ -22,4 +22,4 @@ data = dict(train=dict(_delete_=True, type='LVISV1Dataset',
     dict(type='Normalize'),
     dict(type='Pad', size=(800, 1344)),
     dict(type='PackDetInputs', max_gt=300),
-]}))
+]))

@@ -451,7 +451,22 @@ def emit(family, stem, force=False):
     os.makedirs(out_dir, exist_ok=True)
     with open(out_path, 'w') as f:
         f.write('\n'.join(lines) + '\n')
+    _selfcheck(out_path)
     return 'wrote'
+
+
+def _selfcheck(out_path):
+    """Load the file just written; delete it and abort on any failure.
+
+    Emission is self-checking: a file this tool cannot `Config.fromfile`
+    back must never reach the tree (round-3 lesson: 4 hand-emitted seesaw
+    rows with a `{[...]}` set literal shipped unchecked and broke the
+    config-sweep tests)."""
+    try:
+        Config.fromfile(out_path)
+    except Exception as e:
+        os.remove(out_path)
+        raise SystemExit(f'SELF-CHECK FAILED for {out_path}: {e!r}')
 
 
 # family-dir/stem rows to emit (reference file names, `_coco` dropped)
@@ -844,6 +859,7 @@ def main():
                         f'{stem}_coco.py\n# (variant row emitted by '
                         f'tools/misc/gen_config_variants.py).\n'
                         + SPECIAL[row])
+            _selfcheck(out_path)
             n_wrote += 1
             continue
         try:

@@ -16,7 +16,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 
 from unsupervised_domain_adaptation_object_detection_implementation_tpu.utils.checkpoint import (  # noqa: E402
-    convert_pycls_regnet, convert_torch_resnet)
+    detect_and_convert)
 
 
 def strip_selfsup_prefixes(sd, mode):
@@ -41,17 +41,15 @@ def main():
     args = p.parse_args()
     import torch
     sd = torch.load(args.torch_ckpt, map_location='cpu')
-    if 'state_dict' in sd:
-        sd = sd['state_dict']
-    if 'model_state' in sd:        # pycls checkpoint wrapper
-        sd = sd['model_state']
+    for wrapper in ('state_dict', 'model_state', 'model'):
+        if wrapper in sd and isinstance(sd[wrapper], dict):
+            sd = sd[wrapper]       # torch / pycls / microsoft-swin wrappers
     if args.selfsup:
         sd = strip_selfsup_prefixes(sd, args.selfsup)
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, 'numpy')}
-    if any(k.startswith('stem.') for k in sd):     # pycls RegNet naming
-        tree = convert_pycls_regnet(sd)            # regnet2mmdet.py role
-    else:
-        tree = convert_torch_resnet(sd)
+    # routes resnet / pycls-regnet / swin (ckpt_convert.py:85) /
+    # pvt (ckpt_convert.py:12) by key shape
+    tree = detect_and_convert(sd)
 
     flat = {}
 

@@ -90,7 +90,7 @@ class PVTBlock(nn.Module):
                         feature_group_count=c, dtype=self.dtype,
                         name='dwconv')(g)
             y = g.reshape(b, n, c)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # exact erf: matches torch GELU
         y = nn.Dense(self.dim, dtype=self.dtype, name='fc2')(y)
         return x + y
 
@@ -130,10 +130,14 @@ class PVT(nn.Module):
             b, h, w, _ = x.shape
             t = nn.LayerNorm(name=f'embed_norm{i}')(x.reshape(b, h * w, dim))
             if not self.v2:
+                # stored as a (1, h, w, dim) grid so pretrained tables
+                # (224-input grids) can be bilinearly resized on load
+                # (reference resizes in forward, mmdet pvt.py
+                # AbsolutePositionEmbedding.resize_pos_embed)
                 pos = self.param(f'pos_embed{i}',
                                  nn.initializers.truncated_normal(0.02),
-                                 (1, h * w, dim))
-                t = t + pos
+                                 (1, h, w, dim))
+                t = t + pos.reshape(1, h * w, dim)
             for d in range(depth):
                 t = PVTBlock(dim, self.num_heads[i], self.mlp_ratios[i],
                              self.sr_ratios[i], self.linear and self.v2,

@@ -120,7 +120,8 @@ class SwinBlock(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, name='norm2')(x)
         hidden = int(self.dim * self.mlp_ratio)
         x = nn.Dense(hidden, dtype=self.dtype, name='mlp_fc1')(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)  # exact erf: matches torch GELU
+
         x = nn.Dense(self.dim, dtype=self.dtype, name='mlp_fc2')(x)
         return res + x
 

@@ -8,9 +8,12 @@ __all__ = ['Registry', 'MODELS', 'BACKBONES', 'NECKS', 'HEADS', 'LOSSES',
            'BBOX_SAMPLERS', 'BBOX_CODERS', 'ANCHOR_GENERATORS', 'Config',
            'ConfigDict', 'merge_dict']
 from .checkpoint import (save_checkpoint, load_checkpoint, latest_checkpoint,
-                         convert_torch_resnet, load_pretrained_backbone)
+                         convert_torch_resnet, convert_torch_swin,
+                         convert_torch_pvt, detect_and_convert,
+                         load_pretrained_backbone)
 __all__ += ['save_checkpoint', 'load_checkpoint', 'latest_checkpoint',
-            'convert_torch_resnet', 'load_pretrained_backbone']
+            'convert_torch_resnet', 'convert_torch_swin', 'convert_torch_pvt',
+            'detect_and_convert', 'load_pretrained_backbone']
 from .profiling import profile_time, measure_fps, sync, trace
 __all__ += ['profile_time', 'measure_fps', 'sync', 'trace']
 from .logger import get_root_logger, collect_env

@@ -159,6 +159,203 @@ def convert_pycls_regnet(state_dict: Dict[str, 'np.ndarray']
     return dict(params=params, batch_stats=stats)
 
 
+def _put(tree, keys, value):
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def _swin_merge_reorder(w: 'np.ndarray') -> 'np.ndarray':
+    """Reorder the 4 patch-merging channel blocks from the official torch
+    concat order [(h0,w0),(h1,w0),(h0,w1),(h1,w1)] to this trunk's
+    (h_off, w_off)-major order [(h0,w0),(h0,w1),(h1,w0),(h1,w1)]
+    (reference analog: `mmdet/models/utils/ckpt_convert.py:90-101`
+    `correct_unfold_*_order`, retargeted to our reshape/transpose layout)."""
+    c4 = w.shape[-1]
+    w = w.reshape(*w.shape[:-1], 4, c4 // 4)
+    return w[..., [0, 2, 1, 3], :].reshape(*w.shape[:-2], c4)
+
+
+def convert_torch_swin(state_dict: Dict[str, 'np.ndarray']) -> Dict[str, Any]:
+    """Convert an official (microsoft) Swin Transformer classification
+    checkpoint to `models.backbones.swin.SwinTransformer`'s param layout
+    (reference `mmdet/models/utils/ckpt_convert.py:85` `swin_converter`).
+
+    Key maps: `patch_embed.proj`→`patch_embed` conv (OIHW→HWIO),
+    `layers.{i}.blocks.{j}.*`→`stage{i}/block{j}.*` with qkv/proj/mlp Dense
+    transposed, `relative_position_bias_table`→`attn.rel_bias`,
+    `layers.{i}.downsample.{norm,reduction}`→`merge_norm{i}`/
+    `merge_reduce{i}` with the 4-block channel reorder. The classification
+    head and final `norm.*` are dropped (the reference's non-strict load
+    drops them the same way; our per-stage `out_norm{i}` stay at init)."""
+    params: Dict[str, Any] = {}
+    for name, w in state_dict.items():
+        w = np.asarray(w)
+        parts = name.split('.')
+        if parts[0] in ('head', 'norm'):
+            continue
+        if parts[0] == 'patch_embed':
+            if parts[1] == 'proj':
+                if parts[2] == 'weight':
+                    _put(params, ['patch_embed', 'kernel'],
+                         w.transpose(2, 3, 1, 0))
+                else:
+                    _put(params, ['patch_embed', 'bias'], w)
+            elif parts[1] == 'norm':
+                _put(params, ['patch_norm',
+                              'scale' if parts[2] == 'weight' else 'bias'], w)
+            continue
+        if parts[0] != 'layers':
+            continue
+        i = int(parts[1])
+        if parts[2] == 'downsample':
+            sub, leaf = parts[3], parts[4]
+            if sub == 'norm':
+                _put(params, [f'merge_norm{i}',
+                              'scale' if leaf == 'weight' else 'bias'],
+                     _swin_merge_reorder(w))
+            elif sub == 'reduction' and leaf == 'weight':
+                # (2C, 4C) official -> block-reordered, transposed (4C, 2C)
+                _put(params, [f'merge_reduce{i}', 'kernel'],
+                     _swin_merge_reorder(w).T)
+            continue
+        if parts[2] != 'blocks':
+            continue
+        j = int(parts[3])
+        blk = f'stage{i}/block{j}'
+        sub = parts[4]
+        leaf = parts[-1]
+        if sub in ('norm1', 'norm2'):
+            _put(params, [blk, sub,
+                          'scale' if leaf == 'weight' else 'bias'], w)
+        elif sub == 'attn':
+            a = parts[5]
+            if a == 'relative_position_bias_table':
+                _put(params, [blk, 'attn', 'rel_bias'], w)
+            elif a in ('qkv', 'proj'):
+                if leaf == 'weight':
+                    _put(params, [blk, 'attn', a, 'kernel'], w.T)
+                else:
+                    _put(params, [blk, 'attn', a, 'bias'], w)
+            # relative_position_index / attn_mask buffers: recomputed
+        elif sub == 'mlp':
+            a = parts[5]            # fc1 / fc2
+            if leaf == 'weight':
+                _put(params, [blk, f'mlp_{a}', 'kernel'], w.T)
+            else:
+                _put(params, [blk, f'mlp_{a}', 'bias'], w)
+    return dict(params=params, batch_stats={})
+
+
+def convert_torch_pvt(state_dict: Dict[str, 'np.ndarray']) -> Dict[str, Any]:
+    """Convert an official PVT v1/v2 classification checkpoint to
+    `models.backbones.pvt.PVT`'s param layout (reference
+    `mmdet/models/utils/ckpt_convert.py:12` `pvt_convert`).
+
+    `patch_embed{s}.proj`→`patch_embed{s-1}` conv, `.norm`→`embed_norm{s-1}`,
+    `pos_embed{s}` (cls token stripped on stage 4)→`pos_embed{s-1}` stored as
+    a (1, g, g, C) grid (resized on load), `block{s}.{j}.attn.kv` split into
+    our separate `k`/`v` Dense, `attn.sr` conv OIHW→HWIO, `attn.norm`→
+    `sr_norm`, `mlp.fc1/fc2`(+`dwconv`)→`fc1/fc2`(+`dwconv`), per-stage
+    `norm{s}` (v2)→`out_norm{s-1}`. `head`/`cls_token`/final `norm.` drop."""
+    params: Dict[str, Any] = {}
+    for name, w in state_dict.items():
+        w = np.asarray(w)
+        parts = name.split('.')
+        if parts[0].startswith('head') or parts[0] == 'cls_token' \
+                or name.startswith('norm.'):
+            continue
+        if parts[0].startswith('pos_embed'):
+            s = int(parts[0][len('pos_embed'):])
+            n = w.shape[1]
+            g = int(round(n ** 0.5))
+            if g * g != n:          # leading cls token (stage 4: 1 + 7*7)
+                w = w[:, 1:, :]
+                n = w.shape[1]
+                g = int(round(n ** 0.5))
+            params[f'pos_embed{s - 1}'] = w.reshape(1, g, g, w.shape[-1])
+            continue
+        if parts[0].startswith('patch_embed'):
+            s = int(parts[0][len('patch_embed'):]) - 1
+            leaf = parts[-1]
+            if parts[1] == 'proj':
+                if leaf == 'weight':
+                    _put(params, [f'patch_embed{s}', 'kernel'],
+                         w.transpose(2, 3, 1, 0))
+                else:
+                    _put(params, [f'patch_embed{s}', 'bias'], w)
+            elif parts[1] == 'norm':
+                _put(params, [f'embed_norm{s}',
+                              'scale' if leaf == 'weight' else 'bias'], w)
+            continue
+        if parts[0].startswith('norm') and parts[0][4:].isdigit():
+            s = int(parts[0][4:]) - 1
+            _put(params, [f'out_norm{s}',
+                          'scale' if parts[-1] == 'weight' else 'bias'], w)
+            continue
+        if not parts[0].startswith('block'):
+            continue
+        s = int(parts[0][len('block'):]) - 1
+        j = int(parts[1])
+        blk = f'stage{s}/block{j}'
+        sub = parts[2]
+        leaf = parts[-1]
+        if sub in ('norm1', 'norm2'):
+            _put(params, [blk, sub,
+                          'scale' if leaf == 'weight' else 'bias'], w)
+        elif sub == 'attn':
+            a = parts[3]
+            if a == 'kv':
+                c = w.shape[0] // 2
+                if leaf == 'weight':
+                    _put(params, [blk, 'attn', 'k', 'kernel'], w[:c].T)
+                    _put(params, [blk, 'attn', 'v', 'kernel'], w[c:].T)
+                else:
+                    _put(params, [blk, 'attn', 'k', 'bias'], w[:c])
+                    _put(params, [blk, 'attn', 'v', 'bias'], w[c:])
+            elif a in ('q', 'proj'):
+                if leaf == 'weight':
+                    _put(params, [blk, 'attn', a, 'kernel'], w.T)
+                else:
+                    _put(params, [blk, 'attn', a, 'bias'], w)
+            elif a == 'sr':
+                if leaf == 'weight':
+                    _put(params, [blk, 'attn', 'sr', 'kernel'],
+                         w.transpose(2, 3, 1, 0))
+                else:
+                    _put(params, [blk, 'attn', 'sr', 'bias'], w)
+            elif a == 'norm':
+                _put(params, [blk, 'attn', 'sr_norm',
+                              'scale' if leaf == 'weight' else 'bias'], w)
+        elif sub == 'mlp':
+            a = parts[3]
+            if a == 'dwconv':       # mlp.dwconv.dwconv.{weight,bias}, v2
+                if leaf == 'weight':
+                    # depthwise (C,1,3,3) OIHW -> flax HWIO (3,3,1,C)
+                    _put(params, [blk, 'dwconv', 'kernel'],
+                         w.transpose(2, 3, 1, 0))
+                else:
+                    _put(params, [blk, 'dwconv', 'bias'], w)
+            elif leaf == 'weight':
+                _put(params, [blk, a, 'kernel'], w.T)
+            else:
+                _put(params, [blk, a, 'bias'], w)
+    return dict(params=params, batch_stats={})
+
+
+def detect_and_convert(sd: Dict[str, 'np.ndarray']) -> Dict[str, Any]:
+    """Route a torch state dict to the right converter by key shape
+    (reference `tools/model_converters/` picks by script; here one entry)."""
+    if any('relative_position_bias_table' in k for k in sd):
+        return convert_torch_swin(sd)
+    if any(k.startswith('patch_embed1.') for k in sd):
+        return convert_torch_pvt(sd)
+    if any(k.startswith('stem.') for k in sd):     # pycls RegNet naming
+        return convert_pycls_regnet(sd)
+    return convert_torch_resnet(sd)
+
+
 def load_pretrained_backbone(variables: Dict, torch_ckpt_path: str,
                              backbone_key: str = 'backbone',
                              trunk_key: Optional[str] = 'trunk') -> Dict:
@@ -169,15 +366,11 @@ def load_pretrained_backbone(variables: Dict, torch_ckpt_path: str,
     """
     import torch
     sd = torch.load(torch_ckpt_path, map_location='cpu', weights_only=False)
-    if 'state_dict' in sd:
-        sd = sd['state_dict']
-    if 'model_state' in sd:        # pycls checkpoint wrapper
-        sd = sd['model_state']
+    for wrapper in ('state_dict', 'model_state', 'model'):
+        if wrapper in sd and isinstance(sd[wrapper], dict):
+            sd = sd[wrapper]       # torch / pycls / microsoft-swin wrappers
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, 'numpy')}
-    if any(k.startswith('stem.') for k in sd):     # pycls RegNet naming
-        converted = convert_pycls_regnet(sd)
-    else:
-        converted = convert_torch_resnet(sd)
+    converted = detect_and_convert(sd)
 
     import copy
     out = copy.deepcopy(jax.device_get(variables))
@@ -191,16 +384,26 @@ def load_pretrained_backbone(variables: Dict, torch_ckpt_path: str,
                 merge(dst[k], v, f'{path}/{k}')
             else:
                 if np.shape(dst[k]) != np.shape(v):
+                    if k.startswith('pos_embed') and np.ndim(v) == 4:
+                        # pretrained absolute-position grid (224-input) →
+                        # bilinear resize to the detection grid (reference
+                        # mmdet pvt.py AbsolutePositionEmbedding resize)
+                        dst[k] = np.asarray(jax.image.resize(
+                            v, np.shape(dst[k]), 'bilinear')).astype(
+                                np.asarray(dst[k]).dtype)
+                        continue
                     print(f'[load_pretrained] shape mismatch {path}/{k}: '
                           f'{np.shape(dst[k])} vs {np.shape(v)}')
                     continue
                 dst[k] = v.astype(np.asarray(dst[k]).dtype)
 
     root_p = out['params'][backbone_key]
-    root_s = out['batch_stats'][backbone_key]
     if trunk_key and trunk_key in root_p:
         root_p = root_p[trunk_key]
-        root_s = root_s[trunk_key]
     merge(root_p, converted['params'])
-    merge(root_s, converted['batch_stats'])
+    if converted['batch_stats']:
+        root_s = out['batch_stats'][backbone_key]
+        if trunk_key and trunk_key in root_s:
+            root_s = root_s[trunk_key]
+        merge(root_s, converted['batch_stats'])
     return out
