@@ -130,6 +130,24 @@ def inference_detector(bundle: DetectorBundle,
     return results_out[0] if single else results_out
 
 
+async def async_inference_detector(bundle: DetectorBundle,
+                                   imgs: Union[str, np.ndarray, List]):
+    """Async detection (reference `mmdet/apis/inference.py:155`
+    `async_inference_detector`, tested by `tests/test_runtime/test_async.py`).
+
+    The reference frees the GIL by running CUDA kernels on a dedicated
+    stream inside `torch.no_grad`; under JAX, device dispatch is already
+    asynchronous, so the blocking parts are host-side preprocessing and the
+    final `device_get` — this coroutine moves the whole call off the event
+    loop onto the default executor. Results are identical to
+    `inference_detector` (same code path).
+    """
+    import asyncio
+    loop = asyncio.get_running_loop()
+    return await loop.run_in_executor(
+        None, inference_detector, bundle, imgs)
+
+
 def show_result(img: Union[str, np.ndarray], result: List[np.ndarray],
                 classes: Sequence[str], score_thr: float = 0.3,
                 out_file: Optional[str] = None) -> np.ndarray:
