@@ -1,0 +1,5 @@
+# Counterpart of reference configs/faster_rcnn/faster_rcnn_r50_fpn_bounded_iou_1x_coco.py
+# (bbox_head.loss_bbox=dict(type='BoundedIoULoss', loss_weight=10.0), reg_decoded_bbox=True
+# -> decoded-box RoI regression loss, models/roi_heads/standard_roi_head.py).
+_base_ = ['faster_rcnn_r50_fpn_1x.py']
+model = dict(roi_train_cfg=dict(reg_loss='bounded_iou', reg_loss_weight=10.0))

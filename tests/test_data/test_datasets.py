@@ -255,3 +255,29 @@ def test_resize_multiscale_modes():
            'gt_bboxes': np.array([[0., 0., 200., 100.]], np.float32)})
     assert r['img_shape'] == (64, 128)
     np.testing.assert_allclose(r['gt_bboxes'], [[0, 0, 128, 64]], atol=0.5)
+
+
+def test_coco_dataset_classes_subset(tmp_path):
+    """Explicit `classes=` subset filters annotations and remaps labels
+    (reference configs/faster_rcnn/
+    faster_rcnn_r50_caffe_fpn_mstrain_1x_coco-person.py)."""
+    import json
+    coco = dict(
+        images=[dict(id=1, file_name='a.jpg', width=100, height=100)],
+        annotations=[
+            dict(id=1, image_id=1, category_id=3, bbox=[10, 10, 20, 20],
+                 area=400, iscrowd=0),
+            dict(id=2, image_id=1, category_id=7, bbox=[50, 50, 10, 10],
+                 area=100, iscrowd=0),
+        ],
+        categories=[dict(id=3, name='car'), dict(id=7, name='person')])
+    p = tmp_path / 'ann.json'
+    p.write_text(json.dumps(coco))
+    ds = build_dataset(dict(type='CocoDataset', ann_file=str(p),
+                            pipeline=[], classes=('person',),
+                            test_mode=True))
+    assert ds.CLASSES == ('person',)
+    ann = ds.get_ann_info(0)
+    # only the person box survives, remapped to label 0
+    np.testing.assert_allclose(ann['bboxes'], [[50, 50, 60, 60]])
+    assert ann['labels'].tolist() == [0]

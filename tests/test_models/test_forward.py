@@ -483,3 +483,28 @@ def test_gfl_forward():
         assert np.isfinite(float(v)), key
     dets = model.apply(variables, batch, train=False)
     assert dets['dets'].shape == (2, 10, 5)
+
+
+def test_fcos_tricks_forward():
+    """FCOS trick knobs (reference fcos_center-normbbox-centeronreg-giou
+    rows): center sampling + DCN-on-last-conv + centerness placement."""
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.fcos import FCOS
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.dense_heads.anchor_head import (
+        DensePredictConfig)
+    model = FCOS(backbone_depth=18, num_classes=3,
+                 center_sampling=True, dcn_on_last_conv=True,
+                 centerness_on_reg=False,
+                 test_cfg=DensePredictConfig(nms_pre=200, max_per_img=10,
+                                             nms_tile=128))
+    batch = demo_batch(h=64, w=64)
+    variables = init_model(model, batch)
+    k = jax.random.PRNGKey(1)
+    losses, _ = model.apply(variables, batch, train=True,
+                            rngs={'sampler': k, 'dropout': k},
+                            mutable=['batch_stats'])
+    assert set(losses) == {'loss_cls', 'loss_bbox', 'loss_centerness'}
+    for key, v in losses.items():
+        assert np.isfinite(float(v)), key
+    # dcn offset conv params exist
+    head = variables['params']['bbox_head']
+    assert any('dcn' in key for key in head), sorted(head)[:8]

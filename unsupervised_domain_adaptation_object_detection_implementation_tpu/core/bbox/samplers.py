@@ -35,6 +35,26 @@ def _rank_among(mask: jnp.ndarray, priority: jnp.ndarray) -> jnp.ndarray:
     return ranks
 
 
+def _select_top(mask: jnp.ndarray, priority: jnp.ndarray, quota,
+                k_static: int) -> jnp.ndarray:
+    """Mask of the min(quota, count(mask)) elements of `mask` with the
+    largest `priority` — WITHOUT a full argsort + scatter.
+
+    `rank < quota` selection only needs the quota-th largest masked value
+    as a threshold: one `top_k(key, k_static)` (k_static >= max quota,
+    static) replaces argsort(N)+scatter(N), which dominated the RPN loss at
+    131k anchors (measured 3.9 + 7.5 ms per call on v5e vs ~0.03 ms for
+    top_k). Requires unique priorities among masked entries to hit the
+    quota exactly (random uniform keys are a.s. unique; ties over-select,
+    so don't use for hardness scores — OHEM keeps the rank path).
+    """
+    key = jnp.where(mask, priority, -jnp.inf)
+    k_static = min(k_static, key.shape[0])
+    vals = jax.lax.top_k(key, k_static)[0]
+    thr = vals[jnp.clip(quota - 1, 0, k_static - 1)]
+    return mask & (key >= thr) & (quota > 0)
+
+
 def random_sample(rng: jax.Array,
                   assigned_gt_inds: jnp.ndarray,
                   num: int,
@@ -52,15 +72,13 @@ def random_sample(rng: jax.Array,
     r = jax.random.uniform(rng, (n,))
 
     num_expected_pos = int(num * pos_fraction)
-    pos_rank = _rank_among(pos, r)
-    pos_sel = pos & (pos_rank < num_expected_pos)
+    pos_sel = _select_top(pos, r, num_expected_pos, num_expected_pos)
     num_pos = jnp.sum(pos_sel)
 
     neg_quota = num - num_pos
     if neg_pos_ub >= 0:
         neg_quota = jnp.minimum(neg_quota, jnp.maximum(num_pos, 1) * neg_pos_ub)
-    neg_rank = _rank_among(neg, r)
-    neg_sel = neg & (neg_rank < neg_quota)
+    neg_sel = _select_top(neg, r, neg_quota, num)
 
     selected = pos_sel | neg_sel
     # fixed-size index extraction: positives first, then negatives, then junk

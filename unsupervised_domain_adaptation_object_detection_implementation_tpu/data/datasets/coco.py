@@ -40,7 +40,11 @@ class CocoDataset(CustomDataset):
         with open(ann_file) as f:
             coco = json.load(f)
         cats = sorted(coco['categories'], key=lambda c: c['id'])
-        if not self.CLASSES or len(self.CLASSES) != len(cats):
+        # an explicit `classes=` subset filters annotations to those names
+        # (reference mmdet/datasets/coco.py get_cat_ids); otherwise derive
+        # the table from the json when it disagrees with the default
+        if not getattr(self, 'custom_classes', False) and (
+                not self.CLASSES or len(self.CLASSES) != len(cats)):
             self.CLASSES = tuple(c['name'] for c in cats)
             self.cat2label = {c: i for i, c in enumerate(self.CLASSES)}
         catid2label = {c['id']: self.cat2label[c['name']] for c in cats

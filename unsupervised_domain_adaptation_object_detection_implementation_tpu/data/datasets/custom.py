@@ -35,6 +35,11 @@ class CustomDataset:
         self.test_mode = test_mode
         self.filter_empty_gt = filter_empty_gt
         self.domain = {'source': 0, 'target': 1, None: 0}[domain]
+        # explicit `classes=` restricts training/eval to that subset
+        # (reference mmdet/datasets/custom.py get_classes + coco cat_ids
+        # filtering; e.g. configs/faster_rcnn/
+        # faster_rcnn_r50_caffe_fpn_mstrain_1x_coco-person.py)
+        self.custom_classes = classes is not None
         if classes is not None:
             self.CLASSES = tuple(classes)
         self.cat2label = {c: i for i, c in enumerate(self.CLASSES)}

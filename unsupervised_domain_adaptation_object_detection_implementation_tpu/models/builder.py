@@ -37,6 +37,21 @@ _REFERENCE_DETECTOR_MAP = {
 }
 
 
+# reference bbox_head.loss_bbox type (+reg_decoded_bbox=True) → RoI reg-loss
+# family knob (configs/faster_rcnn/faster_rcnn_r50_fpn_{iou,giou,ciou,
+# bounded_iou}_1x_coco.py)
+_REG_LOSS_MAP = {'IoULoss': 'iou', 'GIoULoss': 'giou', 'CIoULoss': 'ciou',
+                 'DIoULoss': 'diou', 'BoundedIoULoss': 'bounded_iou'}
+
+
+def _reg_loss_kwargs(bbox_head: Dict[str, Any]) -> Dict[str, Any]:
+    lb = bbox_head.get('loss_bbox', {})
+    name = _REG_LOSS_MAP.get(lb.get('type'))
+    if name is None:
+        return {}
+    return dict(reg_loss=name, reg_loss_weight=lb.get('loss_weight', 1.0))
+
+
 def _nested_to_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
     """Translate a reference-style nested model dict to module kwargs."""
     kwargs: Dict[str, Any] = {}
@@ -112,7 +127,8 @@ def _nested_to_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
             use_sigmoid_cls=bbox_head.get('loss_cls', {}).get(
                 'use_sigmoid', True),
             sampler_type=('ohem' if rs.get('type') == 'OHEMSampler'
-                          else 'random'))
+                          else 'random'),
+            **_reg_loss_kwargs(bbox_head))
 
     test_cfg = cfg.get('test_cfg') or {}
     if test_cfg:

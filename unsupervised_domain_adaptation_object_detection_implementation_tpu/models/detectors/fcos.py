@@ -33,19 +33,40 @@ REGRESS_RANGES = ((-1, 64), (64, 128), (128, 256), (256, 512), (512, INF))
 
 @HEADS.register_module()
 class FCOSHead(nn.Module):
+    """`centerness_on_reg`: the FCOS-improved placement (centerness from
+    the reg tower, reference `fcos_head.py` arg; this repo's measured
+    default). `dcn_on_last_conv`: swap the last tower conv for DCNv1
+    (reference `fcos_center-normbbox-centeronreg-giou_..._dcn_1x` row)."""
+
     num_classes: int = 80
     feat_channels: int = 256
     stacked_convs: int = 4
+    centerness_on_reg: bool = True
+    dcn_on_last_conv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]):
+        n_plain = self.stacked_convs - (1 if self.dcn_on_last_conv else 0)
         cls_convs = [nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1)] * 2,
                              dtype=self.dtype, name=f'cls_conv{i}')
-                     for i in range(self.stacked_convs)]
+                     for i in range(n_plain)]
         reg_convs = [nn.Conv(self.feat_channels, (3, 3), padding=[(1, 1)] * 2,
                              dtype=self.dtype, name=f'reg_conv{i}')
-                     for i in range(self.stacked_convs)]
+                     for i in range(n_plain)]
+        if self.dcn_on_last_conv:
+            from ..layers.plugins import DeformConv
+            i = self.stacked_convs - 1
+            cls_dcn = DeformConv(self.feat_channels, dtype=self.dtype,
+                                 name=f'cls_conv{i}_dcn')
+            cls_off = nn.Conv(18, (3, 3), padding=[(1, 1)] * 2,
+                              kernel_init=nn.initializers.zeros,
+                              dtype=self.dtype, name=f'cls_conv{i}_offset')
+            reg_dcn = DeformConv(self.feat_channels, dtype=self.dtype,
+                                 name=f'reg_conv{i}_dcn')
+            reg_off = nn.Conv(18, (3, 3), padding=[(1, 1)] * 2,
+                              kernel_init=nn.initializers.zeros,
+                              dtype=self.dtype, name=f'reg_conv{i}_offset')
         cls_out = nn.Conv(self.num_classes, (3, 3), padding=[(1, 1)] * 2,
                           bias_init=nn.initializers.constant(-4.595),
                           dtype=self.dtype, name='fcos_cls')
@@ -60,11 +81,14 @@ class FCOSHead(nn.Module):
                 c = nn.relu(conv(c))
             for conv in reg_convs:
                 r = nn.relu(conv(r))
+            if self.dcn_on_last_conv:
+                c = nn.relu(cls_dcn(c, cls_off(c)))
+                r = nn.relu(reg_dcn(r, reg_off(r)))
             scale = self.param(f'scale_{lvl}', nn.initializers.ones, ())
             cls_s.append(cls_out(c))
             reg_s.append(jnp.exp(reg_out(r).astype(jnp.float32) *
                                  scale.astype(jnp.float32)))
-            ctr_s.append(ctr_out(r))
+            ctr_s.append(ctr_out(r if self.centerness_on_reg else c))
         return tuple(cls_s), tuple(reg_s), tuple(ctr_s)
 
 
@@ -81,10 +105,13 @@ def fcos_points(featmap_sizes, strides) -> Tuple[np.ndarray, np.ndarray, np.ndar
 
 
 def fcos_loss(cls_logits, reg_dists, ctr_logits, points, strides, ranges,
-              gt_bboxes, gt_labels, gt_valid, num_classes
-              ) -> Dict[str, jnp.ndarray]:
+              gt_bboxes, gt_labels, gt_valid, num_classes,
+              center_sampling: bool = False,
+              center_sample_radius: float = 1.5) -> Dict[str, jnp.ndarray]:
     """FCOS target assignment + losses (reference `fcos_head.py` get_targets:
-    center-inside-box, scale-range filter, min-area tie-break)."""
+    center-inside-box, scale-range filter, min-area tie-break;
+    `center_sampling` restricts positives to a ±radius·stride box around the
+    gt center, clipped to the gt — the `fcos_center*` config rows)."""
 
     def per_image(cls_i, reg_i, ctr_i, gt, gtl, gtv):
         # distances from every point to every gt: (N, G, 4)
@@ -95,6 +122,19 @@ def fcos_loss(cls_logits, reg_dists, ctr_logits, points, strides, ranges,
             gt[None, :, 3] - points[:, None, 1],
         ], axis=-1)
         inside = d.min(axis=-1) > 0
+        if center_sampling:
+            cx = (gt[None, :, 0] + gt[None, :, 2]) * 0.5
+            cy = (gt[None, :, 1] + gt[None, :, 3]) * 0.5
+            rad = strides[:, None] * center_sample_radius
+            x_lo = jnp.maximum(cx - rad, gt[None, :, 0])
+            x_hi = jnp.minimum(cx + rad, gt[None, :, 2])
+            y_lo = jnp.maximum(cy - rad, gt[None, :, 1])
+            y_hi = jnp.minimum(cy + rad, gt[None, :, 3])
+            in_center = ((points[:, None, 0] > x_lo) &
+                         (points[:, None, 0] < x_hi) &
+                         (points[:, None, 1] > y_lo) &
+                         (points[:, None, 1] < y_hi))
+            inside = inside & in_center
         maxd = d.max(axis=-1)
         in_range = (maxd >= ranges[:, None, 0]) & (maxd <= ranges[:, None, 1])
         areas = (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1])
@@ -139,6 +179,15 @@ class FCOS(nn.Module):
     backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    # trick knobs (reference fcos_center* rows): see FCOSHead / fcos_loss
+    center_sampling: bool = False
+    center_sample_radius: float = 1.5
+    centerness_on_reg: bool = True
+    # this head already regresses stride-normalized distances (exp·scale
+    # then ×stride) — the reference's norm_on_bbox=True parametrization;
+    # the knob is accepted for config parity and documented here.
+    norm_on_bbox: bool = True
+    dcn_on_last_conv: bool = False
     test_cfg: DensePredictConfig = DensePredictConfig()
     dtype: Any = jnp.float32
 
@@ -152,6 +201,8 @@ class FCOS(nn.Module):
                         add_extra_convs='on_output',
                         relu_before_extra_convs=True, dtype=self.dtype)
         self.bbox_head = FCOSHead(num_classes=self.num_classes,
+                                  centerness_on_reg=self.centerness_on_reg,
+                                  dcn_on_last_conv=self.dcn_on_last_conv,
                                   dtype=self.dtype)
 
     def _forward_flat(self, image):
@@ -169,7 +220,9 @@ class FCOS(nn.Module):
         cls, reg, ctr, pts, strs, rngs = self._forward_flat(batch['image'])
         return fcos_loss(cls, reg, ctr, pts, strs, rngs, batch['gt_bboxes'],
                          batch['gt_labels'], batch['gt_valid'],
-                         self.num_classes)
+                         self.num_classes,
+                         center_sampling=self.center_sampling,
+                         center_sample_radius=self.center_sample_radius)
 
     def predict(self, batch):
         cls, reg, ctr, pts, strs, _ = self._forward_flat(batch['image'])

@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ...utils.registry import LOSSES
@@ -69,6 +70,49 @@ def ciou_loss(pred, target, weight=None, eps=1e-6, reduction='mean',
     alpha = v / jnp.maximum(1 - iou + v, eps)
     return weight_reduce_loss(1 - (iou - rho2 / c2 - alpha * v), weight,
                               reduction, avg_factor)
+
+
+def bounded_iou_loss(pred, target, weight=None, beta=0.2, eps=1e-3,
+                     reduction='mean', avg_factor=None):
+    """BoundedIoULoss (reference `mmdet/models/losses/iou_loss.py:
+    bounded_iou_loss`, IoU-Net): per-coordinate bounded overlap terms on
+    decoded boxes, smooth-L1-composed with `beta`."""
+    px = (pred[..., 0] + pred[..., 2]) * 0.5
+    py = (pred[..., 1] + pred[..., 3]) * 0.5
+    pw = pred[..., 2] - pred[..., 0]
+    ph = pred[..., 3] - pred[..., 1]
+    tx = (target[..., 0] + target[..., 2]) * 0.5
+    ty = (target[..., 1] + target[..., 3]) * 0.5
+    tw = jax.lax.stop_gradient(target[..., 2] - target[..., 0])
+    th = jax.lax.stop_gradient(target[..., 3] - target[..., 1])
+    dx = tx - px
+    dy = ty - py
+    loss_dx = 1 - jnp.maximum(
+        (tw - 2 * jnp.abs(dx)) / (tw + 2 * jnp.abs(dx) + eps), 0)
+    loss_dy = 1 - jnp.maximum(
+        (th - 2 * jnp.abs(dy)) / (th + 2 * jnp.abs(dy) + eps), 0)
+    loss_dw = 1 - jnp.minimum(tw / (pw + eps), pw / (tw + eps))
+    loss_dh = 1 - jnp.minimum(th / (ph + eps), ph / (th + eps))
+    comb = jnp.stack([loss_dx, loss_dy, loss_dw, loss_dh], axis=-1)
+    loss = jnp.where(comb < beta, 0.5 * comb * comb / beta,
+                     comb - 0.5 * beta).sum(-1)
+    return weight_reduce_loss(loss, weight, reduction, avg_factor)
+
+
+@LOSSES.register_module()
+class BoundedIoULoss:
+    def __init__(self, beta=0.2, eps=1e-3, reduction='mean',
+                 loss_weight=1.0):
+        self.beta = beta
+        self.eps = eps
+        self.reduction = reduction
+        self.loss_weight = loss_weight
+
+    def __call__(self, pred, target, weight=None, avg_factor=None,
+                 reduction_override=None):
+        reduction = reduction_override or self.reduction
+        return self.loss_weight * bounded_iou_loss(
+            pred, target, weight, self.beta, self.eps, reduction, avg_factor)
 
 
 @LOSSES.register_module()

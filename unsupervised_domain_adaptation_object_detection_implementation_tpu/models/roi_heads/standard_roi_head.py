@@ -48,6 +48,13 @@ class RoITrainConfig(NamedTuple):
     # (configs/faster_rcnn/faster_rcnn_r50_fpn_ohem_1x_coco.py); 'ohem'
     # needs the detector to pass `score_fn` to :func:`sample_rois`.
     sampler_type: str = 'random'
+    # RoI regression loss family (reference roi_head.bbox_head.loss_bbox
+    # type + reg_decoded_bbox=True rows: configs/faster_rcnn/
+    # faster_rcnn_r50_fpn_{iou,giou,ciou,bounded_iou}_1x_coco.py):
+    # 'l1' (smooth-L1 on deltas) | 'iou' | 'giou' | 'ciou' | 'bounded_iou'
+    # (on decoded boxes).
+    reg_loss: str = 'l1'
+    reg_loss_weight: float = 1.0
 
 
 class RoITestConfig(NamedTuple):
@@ -184,8 +191,33 @@ def bbox_loss(cls_scores: jnp.ndarray,
             reg_per_cls, lbl[..., None, None].repeat(4, -1), axis=2)[..., 0, :]
     pos_w = (sampled.is_pos & sampled.label_valid).astype(reg_preds.dtype) * \
         w_img[:, None]
-    reg_l = smooth_l1_loss(reg_sel, sampled.reg_targets,
-                           weight=pos_w[..., None], reduction='sum')
+    if cfg.reg_loss == 'l1':
+        reg_l = smooth_l1_loss(reg_sel, sampled.reg_targets,
+                               weight=pos_w[..., None], reduction='sum')
+    else:
+        # decoded-box IoU-family losses (reference reg_decoded_bbox=True):
+        # decode both prediction and target deltas against the same RoIs —
+        # the decoded target IS the matched gt box.
+        from ..losses.iou_loss import (bounded_iou_loss, ciou_loss,
+                                       giou_loss, iou_loss)
+        pred_boxes = delta2bbox(sampled.rois.reshape(-1, 4),
+                                reg_sel.reshape(-1, 4).astype(jnp.float32),
+                                cfg.target_means, cfg.target_stds)
+        tgt_boxes = delta2bbox(sampled.rois.reshape(-1, 4),
+                               sampled.reg_targets.reshape(-1, 4)
+                               .astype(jnp.float32),
+                               cfg.target_means, cfg.target_stds)
+        fn = {'iou': lambda p, t, wgt: iou_loss(p, t, wgt, linear=True,
+                                                reduction='sum'),
+              'giou': lambda p, t, wgt: giou_loss(p, t, wgt,
+                                                  reduction='sum'),
+              'ciou': lambda p, t, wgt: ciou_loss(p, t, wgt,
+                                                  reduction='sum'),
+              'bounded_iou': lambda p, t, wgt: bounded_iou_loss(
+                  p, t, wgt, reduction='sum')}[cfg.reg_loss]
+        reg_l = fn(pred_boxes, tgt_boxes,
+                   pos_w.reshape(-1).astype(jnp.float32)) \
+            * cfg.reg_loss_weight
     reg_l = reg_l / jnp.maximum(jnp.sum(w), 1.0)
     return dict(loss_cls=cls_l, loss_bbox=reg_l)
 
