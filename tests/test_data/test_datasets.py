@@ -281,3 +281,28 @@ def test_coco_dataset_classes_subset(tmp_path):
     # only the person box survives, remapped to label 0
     np.testing.assert_allclose(ann['bboxes'], [[50, 50, 60, 60]])
     assert ann['labels'].tolist() == [0]
+
+
+def test_random_crop_absolute_range():
+    """crop_type='absolute_range' (the Swin/DETR ms-crop recipe,
+    reference configs/swin/*ms-crop-3x*): crop h/w drawn from the range,
+    masks filtered with their boxes."""
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.data.pipelines.transforms import (
+        RandomCrop)
+    rng = np.random.RandomState(3)
+    t = RandomCrop((8, 20), crop_type='absolute_range',
+                   allow_negative_crop=True)
+    res = dict(img=np.zeros((32, 48, 3), np.float32),
+               gt_bboxes=np.asarray([[2., 2., 30., 30.], [40., 28., 47., 31.]],
+                                    np.float32),
+               gt_labels=np.asarray([0, 1]),
+               gt_masks=np.ones((2, 28, 28), np.uint8),
+               _rng=rng)
+    out = t(res)
+    h, w = out['img'].shape[:2]
+    assert 8 <= h <= 20 and 8 <= w <= 20
+    assert len(out['gt_bboxes']) == len(out['gt_labels']) == \
+        len(out['gt_masks'])
+    if len(out['gt_bboxes']):
+        assert (out['gt_bboxes'][:, 2] <= w).all()
+        assert (out['gt_bboxes'][:, 3] <= h).all()

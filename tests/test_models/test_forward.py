@@ -508,3 +508,24 @@ def test_fcos_tricks_forward():
     # dcn offset conv params exist
     head = variables['params']['bbox_head']
     assert any('dcn' in key for key in head), sorted(head)[:8]
+
+
+def test_yolov3_mobilenetv2_forward():
+    """MobileNetV2-trunk YOLOv3 (reference configs/yolo/yolov3_mobilenetv2_*:
+    neck/head widths 96, strides 8/16/32 taps)."""
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.yolov3 import YOLOV3
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.dense_heads.anchor_head import (
+        DensePredictConfig)
+    model = YOLOV3(num_classes=3, backbone_cfg=dict(type='MobileNetV2'),
+                   neck_channels=(96, 96, 96),
+                   test_cfg=DensePredictConfig(nms_pre=100, max_per_img=10,
+                                               nms_tile=64))
+    batch = demo_batch(h=64, w=64)
+    variables = init_model(model, batch)
+    k = jax.random.PRNGKey(0)
+    losses, _ = model.apply(variables, batch, train=True,
+                            rngs={'sampler': k}, mutable=['batch_stats'])
+    for key, v in losses.items():
+        assert np.isfinite(float(v)), key
+    dets = model.apply(variables, batch, train=False)
+    assert dets['dets'].shape == (2, 10, 5)

@@ -418,17 +418,32 @@ class Compose:
 
 @PIPELINES.register_module()
 class RandomCrop:
-    """Random crop with box filtering (reference `pipelines/transforms.py:710`)."""
+    """Random crop with box filtering (reference `pipelines/transforms.py:710`).
 
-    def __init__(self, crop_size, allow_negative_crop: bool = False):
-        self.crop_size = crop_size   # (h, w)
+    `crop_type`: 'absolute' (fixed crop_size) or 'absolute_range'
+    (crop h/w drawn uniformly from [crop_size[0], crop_size[1]] each —
+    the Swin/DETR ms-crop recipe, reference configs/swin/*ms-crop-3x*).
+    Box-frame mask rasters ride their surviving boxes unchanged (rasters
+    live in the box frame, so pure translation is a no-op; edge-clipped
+    boxes keep the full-object raster — documented deviation)."""
+
+    def __init__(self, crop_size, crop_type: str = 'absolute',
+                 allow_negative_crop: bool = False):
+        assert crop_type in ('absolute', 'absolute_range'), crop_type
+        self.crop_size = crop_size   # (h, w) or (min, max) for range
+        self.crop_type = crop_type
         self.allow_negative_crop = allow_negative_crop
 
     def __call__(self, results):
         rng: np.random.RandomState = results.get('_rng', np.random)
         img = results['img']
         h, w = img.shape[:2]
-        ch, cw = min(self.crop_size[0], h), min(self.crop_size[1], w)
+        if self.crop_type == 'absolute_range':
+            lo, hi = self.crop_size
+            ch = min(rng.randint(lo, hi + 1), h)
+            cw = min(rng.randint(lo, hi + 1), w)
+        else:
+            ch, cw = min(self.crop_size[0], h), min(self.crop_size[1], w)
         y0 = rng.randint(0, h - ch + 1)
         x0 = rng.randint(0, w - cw + 1)
         results['img'] = img[y0:y0 + ch, x0:x0 + cw]
@@ -447,6 +462,8 @@ class RandomCrop:
                 return results
             results['gt_bboxes'] = boxes[keep]
             results['gt_labels'] = results['gt_labels'][keep]
+            if 'gt_masks' in results:
+                results['gt_masks'] = results['gt_masks'][keep]
         return results
 
 

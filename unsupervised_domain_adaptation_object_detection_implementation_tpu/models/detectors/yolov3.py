@@ -46,48 +46,64 @@ def _conv_block(x, ch, name, dtype):
 
 @HEADS.register_module()
 class YOLOV3Neck(nn.Module):
-    """Top-down detection blocks with upsample+concat (reference yolo_neck)."""
+    """Top-down detection blocks with upsample+concat (reference yolo_neck).
 
+    `channels` are the (d3, d4, d5) detection-block widths — (128, 256, 512)
+    for Darknet-53, (96, 96, 96) for the MobileNetV2 rows (reference
+    configs/yolo/yolov3_mobilenetv2_*: neck out_channels=[96, 96, 96])."""
+
+    channels: Tuple[int, int, int] = (128, 256, 512)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats):
         c3, c4, c5 = feats
-        d5 = _conv_block(c5, 512, 'det5', self.dtype)
-        u4 = nn.Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
+        ch3, ch4, ch5 = self.channels
+        d5 = _conv_block(c5, ch5, 'det5', self.dtype)
+        u4 = nn.Conv(ch4, (1, 1), use_bias=False, dtype=self.dtype,
                      name='lat4')(d5)
-        u4 = nn.leaky_relu(FrozenBatchNorm(256, name='lat4_bn')(u4), 0.1)
+        u4 = nn.leaky_relu(FrozenBatchNorm(ch4, name='lat4_bn')(u4), 0.1)
         u4 = jax.image.resize(u4, (*u4.shape[:-3], c4.shape[-3],
-                                   c4.shape[-2], 256), 'nearest')
-        d4 = _conv_block(jnp.concatenate([u4, c4], -1), 256, 'det4',
+                                   c4.shape[-2], ch4), 'nearest')
+        d4 = _conv_block(jnp.concatenate([u4, c4], -1), ch4, 'det4',
                          self.dtype)
-        u3 = nn.Conv(128, (1, 1), use_bias=False, dtype=self.dtype,
+        u3 = nn.Conv(ch3, (1, 1), use_bias=False, dtype=self.dtype,
                      name='lat3')(d4)
-        u3 = nn.leaky_relu(FrozenBatchNorm(128, name='lat3_bn')(u3), 0.1)
+        u3 = nn.leaky_relu(FrozenBatchNorm(ch3, name='lat3_bn')(u3), 0.1)
         u3 = jax.image.resize(u3, (*u3.shape[:-3], c3.shape[-3],
-                                   c3.shape[-2], 128), 'nearest')
-        d3 = _conv_block(jnp.concatenate([u3, c3], -1), 128, 'det3',
+                                   c3.shape[-2], ch3), 'nearest')
+        d3 = _conv_block(jnp.concatenate([u3, c3], -1), ch3, 'det3',
                          self.dtype)
         return d3, d4, d5
 
 
 @DETECTORS.register_module()
 class YOLOV3(nn.Module):
+    """`backbone_cfg=dict(type='MobileNetV2', ...)` swaps the trunk
+    (reference configs/yolo/yolov3_mobilenetv2_*: MobileNetV2 out_indices
+    (2, 4, 6) → our strides 8/16/32 maps, neck/head widths 96)."""
+
     num_classes: int = 80
+    backbone_cfg: Any = None
+    neck_channels: Tuple[int, int, int] = (128, 256, 512)
     test_cfg: DensePredictConfig = DensePredictConfig()
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = Darknet53(dtype=self.dtype)
-        self.neck = YOLOV3Neck(dtype=self.dtype)
+        if self.backbone_cfg is None:
+            self.backbone = Darknet53(dtype=self.dtype)
+        else:
+            from ..backbones.build import build_trunk
+            self.backbone = build_trunk(self.backbone_cfg, dtype=self.dtype)
+        self.neck = YOLOV3Neck(channels=self.neck_channels, dtype=self.dtype)
         self.head_convs = [
             nn.Conv(ch * 2, (3, 3), padding=[(1, 1)] * 2, use_bias=False,
                     dtype=self.dtype, name=f'head{i}_conv')
-            for i, ch in enumerate((128, 256, 512))
+            for i, ch in enumerate(self.neck_channels)
         ]
         self.head_bns = [
             FrozenBatchNorm(ch * 2, name=f'head{i}_bn')
-            for i, ch in enumerate((128, 256, 512))
+            for i, ch in enumerate(self.neck_channels)
         ]
         self.head_preds = [
             nn.Conv(3 * (5 + self.num_classes), (1, 1), dtype=self.dtype,
@@ -104,6 +120,8 @@ class YOLOV3(nn.Module):
 
     def _forward(self, image):
         feats = self.backbone(image.astype(self.dtype))
+        if len(feats) > 3:   # generic trunks emit strides 4/8/16/32
+            feats = feats[-3:]
         dets = self.neck(feats)
         return self._heads(dets)
 

@@ -27,7 +27,7 @@ from ...core.bbox.assigners import max_iou_assign
 from ...core.bbox.samplers import ohem_sample, random_sample
 from ...core.bbox.transforms import bbox2delta, delta2bbox
 from ...core.post.nms import multiclass_nms
-from ...ops.roi_align import batched_roi_align
+from ...ops.roi_align import batched_roi_align, batched_roi_align_fpn
 from ..losses import binary_cross_entropy, cross_entropy, smooth_l1_loss
 
 
@@ -245,23 +245,13 @@ def extract_roi_feats_fpn(feats, rois: jnp.ndarray,
     pyramid levels by scale — level = floor(log2(sqrt(area)/finest_scale)),
     clamped — then each level's RoIAlign output is selected per RoI.
 
-    Static-shape approach: RoIAlign runs on EVERY level for every RoI and a
-    one-hot level mask selects the result. 4× the aligns, but each level is
-    256-channel (vs 2048 single-level) and the masked select fuses — the
-    dense trade that keeps shapes static.
+    Static-shape approach: RoIAlign runs on EVERY level for every RoI with
+    the level one-hot folded into the x weights. Delegates to
+    `ops/roi_align.py:batched_roi_align_fpn` (pre-transposed x-interp rhs;
+    see its docstring for the measured design trade-offs).
     """
-    scale = jnp.sqrt(
-        jnp.maximum(rois[..., 2] - rois[..., 0], 0) *
-        jnp.maximum(rois[..., 3] - rois[..., 1], 0))
-    lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
-    lvl = jnp.clip(lvl, 0, len(strides) - 1).astype(jnp.int32)
-    out = None
-    for i, s in enumerate(strides):
-        aligned = batched_roi_align(feats[i], rois, 1.0 / s, out_size,
-                                    sampling_ratio)
-        sel = (lvl == i).astype(aligned.dtype)[..., None, None, None]
-        out = aligned * sel if out is None else out + aligned * sel
-    return out
+    return batched_roi_align_fpn(feats, rois, strides, out_size,
+                                 sampling_ratio, finest_scale=finest_scale)
 
 
 def seesaw_cls_losses(cls_scores: jnp.ndarray,

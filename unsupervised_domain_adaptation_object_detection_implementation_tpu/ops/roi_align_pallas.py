@@ -735,3 +735,223 @@ def _v4_bwd(spatial_scale, out_size, sampling_ratio, aligned, roi_chunk,
 roi_align_fused_v4.defvjp(
     lambda feats, rois, *a: _v4_fwd(feats, rois, *a),
     _v4_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Multi-level (FPN) fused RoIAlign.
+#
+# The FPN geometry is the OPPOSITE of the DC5 probes above: large H×W
+# (128×256 at bench shapes), small C (256), and 4 levels each aligned for
+# every roi with a level one-hot folded into the x weights (static shapes,
+# reference `single_level_roi_extractor.py:10` map_roi_levels). The XLA
+# separable path materializes the (R, o, H, C) x-interp intermediate in HBM
+# (~3.8 GB/step at bench shapes, measured 14.8 ms fwd with a pre-transposed
+# rhs, 18.0 ms without). Here the x-dot runs per (image, roi-chunk, h-block)
+# grid cell — (cr·o, W)@(W, hb·C), MXU-friendly — and the y-interp
+# contracts the h-block immediately on the VPU into a per-cell f32 VMEM
+# accumulator, so the intermediate never leaves the chip. The y-pass is a
+# 7-way unrolled broadcast-FMA into a scratch REF (the v3 probe's register
+# spill came from carrying f32 accumulators as loop VALUES).
+# ---------------------------------------------------------------------------
+
+
+def _fpn_fwd_kernel(ftp_ref, wx_ref, wy_ref, out_ref, acc_ref, *,
+                    cr, o, hb, c):
+    """Blocks: ftp (1, W_p, hb, C) · wx (1, 1, cr·o, W_p) ·
+    wy (1, 1, 1, cr, o·hb) → out (1, 1, cr·o, o·C); acc (o, cr, o·C) f32
+    (oy-major so every slice/flush is tile-aligned)."""
+    hbi = pl.program_id(2)
+
+    @pl.when(hbi == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    wp = ftp_ref.shape[1]
+    ft = ftp_ref[0].reshape(wp, hb * c)
+    t = jnp.dot(wx_ref[0, 0], ft, preferred_element_type=jnp.float32)
+    t = t.reshape(cr, o, hb, c)                        # (r, ox, j, C)
+    wy = wy_ref[0, 0, 0].reshape(cr, o, hb).astype(jnp.float32)
+    for oy in range(o):
+        # slice_in_dim, not int indexing — middle-axis int indexing
+        # lowers to a >2D gather Mosaic rejects
+        wyo = jax.lax.slice_in_dim(wy, oy, oy + 1, axis=1)   # (cr, 1, hb)
+        contrib = jnp.sum(t * wyo[..., None], axis=2)
+        acc_ref[oy] = acc_ref[oy] + contrib.reshape(cr, o * c)
+
+    @pl.when(hbi == pl.num_programs(2) - 1)
+    def _():
+        out_ref[0, 0] = acc_ref[:].transpose(1, 0, 2).reshape(
+            cr * o, o * c).astype(out_ref.dtype)
+
+
+def _fpn_bwd_kernel(g_ref, wx_ref, wy_ref, gf_ref, acc_ref, *,
+                    cr, o, hb, c):
+    """Blocks: g (1, 1, cr·o, o·C) · wx (1, 1, cr·o, W_p) ·
+    wy (1, 1, 1, cr, o·hb) → gf (1, 1, W_p, hb·C); acc (W_p, hb·C) f32."""
+    rci = pl.program_id(2)
+
+    @pl.when(rci == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    g = g_ref[0, 0].reshape(cr, o, o, c).astype(jnp.float32)
+    wy = wy_ref[0, 0, 0].reshape(cr, o, hb).astype(jnp.float32)
+    # u[r, ox, j, C] = sum_oy wy[r, oy, j] * g[r, oy, ox, C]
+    u = None
+    for oy in range(o):
+        # slice_in_dim (see fwd kernel note); (r, ox, 1, C) * (r, 1, j, 1)
+        go = jax.lax.slice_in_dim(g, oy, oy + 1, axis=1)     # (r, 1, ox, C)
+        wyo = jax.lax.slice_in_dim(wy, oy, oy + 1, axis=1)   # (r, 1, hb)
+        term = go.reshape(cr, o, 1, c) * wyo.reshape(cr, 1, hb, 1)
+        u = term if u is None else u + term
+    u = u.reshape(cr * o, hb * c).astype(g_ref.dtype)
+    # dfeat_t[w, j·C] += wx^T @ u : contract the (cr·o) rows
+    d = jax.lax.dot_general(wx_ref[0, 0], u, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] + d
+
+    @pl.when(rci == pl.num_programs(2) - 1)
+    def _():
+        gf_ref[0, 0] = acc_ref[:].astype(gf_ref.dtype)
+
+
+def _fpn_level_weights(rois, lvl, i, stride, out_size, sampling_ratio,
+                       aligned, h, w, hp, wp, cr, hb, dtype):
+    """Level-masked separable weights, padded to (H_p, W_p), chunked.
+
+    wy is laid out (B, nch, n_hb, cr, o·hb) so each kernel block takes the
+    FULL last two dims — Pallas TPU blocks must have last-two dims divisible
+    by (8, 128) or equal to the array dims, and (o=7, hb) is neither."""
+    from .roi_align import _roi_weights
+    b, n = rois.shape[:2]
+    wx, wy = jax.vmap(lambda r: _roi_weights(
+        r, 1.0 / stride, out_size, sampling_ratio, aligned, h, w))(rois)
+    wx = wx * (lvl == i).astype(wx.dtype)[..., None, None]
+    pad_n = (-n) % cr
+    wx = jnp.pad(wx, ((0, 0), (0, pad_n), (0, 0), (0, wp - w)))
+    wy = jnp.pad(wy, ((0, 0), (0, pad_n), (0, 0), (0, hp - h)))
+    nch = (n + pad_n) // cr
+    o = out_size
+    wx = wx.reshape(b, nch, cr * o, wp).astype(dtype)
+    # (B, R, o, H_p) → (B, nch, cr, o, n_hb, hb) → (B, nch, n_hb, cr, o·hb)
+    wy = wy.reshape(b, nch, cr, o, hp // hb, hb).transpose(0, 1, 4, 2, 3, 5)
+    wy = wy.reshape(b, nch, hp // hb, cr, o * hb).astype(dtype)
+    return wx, wy, nch
+
+
+def _fpn_fused_fwd(feats, rois, strides, out_size, sampling_ratio, aligned,
+                   finest_scale, roi_chunk, h_block, interpret=False):
+    from .roi_align import roi_levels
+    b, _, _, c = feats[0].shape
+    n = rois.shape[1]
+    o = out_size
+    cr = min(roi_chunk if o <= 7 else max(8, roi_chunk // 4), n)
+    hb = h_block
+    lvl = roi_levels(rois, len(strides), finest_scale)
+    total = None
+    for i, (s, feat) in enumerate(zip(strides, feats)):
+        h, w = feat.shape[1], feat.shape[2]
+        hp = h + (-h) % hb
+        wp = w + (-w) % 128
+        wx, wy, nch = _fpn_level_weights(
+            rois, lvl, i, s, o, sampling_ratio, aligned, h, w, hp, wp, cr,
+            hb, feat.dtype)
+        ftp = jnp.pad(feat, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        ftp = ftp.transpose(0, 2, 1, 3)                # (B, W_p, H_p, C)
+        out = pl.pallas_call(
+            partial(_fpn_fwd_kernel, cr=cr, o=o, hb=hb, c=c),
+            grid=(b, nch, hp // hb),
+            in_specs=[
+                pl.BlockSpec((1, wp, hb, c),
+                             lambda bi, ri, hi: (bi, 0, hi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cr * o, wp),
+                             lambda bi, ri, hi: (bi, ri, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, cr, o * hb),
+                             lambda bi, ri, hi: (bi, ri, hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, cr * o, o * c),
+                                   lambda bi, ri, hi: (bi, ri, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, nch, cr * o, o * c),
+                                           feat.dtype),
+            scratch_shapes=[pltpu.VMEM((o, cr, o * c), jnp.float32)],
+            interpret=interpret,
+        )(ftp, wx, wy)
+        out = out.reshape(b, nch * cr, o, o, c)[:, :n]
+        total = out if total is None else total + out
+    shape_tokens = tuple(jnp.zeros(f.shape[1:3], f.dtype) for f in feats)
+    return total, (rois, shape_tokens)
+
+
+def _fpn_fused_bwd(strides, out_size, sampling_ratio, aligned, finest_scale,
+                   roi_chunk, h_block, interpret, res, g):
+    from .roi_align import roi_levels
+    rois, shape_tokens = res
+    b, n = rois.shape[:2]
+    c = g.shape[-1]
+    o = out_size
+    cr = min(roi_chunk if o <= 7 else max(8, roi_chunk // 4), n)
+    hb = h_block
+    lvl = roi_levels(rois, len(strides), finest_scale)
+    pad_n = (-n) % cr
+    gp = jnp.pad(g, ((0, 0), (0, pad_n)) + ((0, 0),) * 3)
+    nch = (n + pad_n) // cr
+    grads = []
+    for i, (s, tok) in enumerate(zip(strides, shape_tokens)):
+        h, w = tok.shape
+        dtype = tok.dtype
+        hp = h + (-h) % hb
+        wp = w + (-w) % 128
+        wx, wy, _ = _fpn_level_weights(
+            rois, lvl, i, s, o, sampling_ratio, aligned, h, w, hp, wp, cr,
+            hb, dtype)
+        g2 = gp.reshape(b, nch, cr * o, o * c).astype(dtype)
+        gfp = pl.pallas_call(
+            partial(_fpn_bwd_kernel, cr=cr, o=o, hb=hb, c=c),
+            grid=(b, hp // hb, nch),
+            in_specs=[
+                pl.BlockSpec((1, 1, cr * o, o * c),
+                             lambda bi, hi, ri: (bi, ri, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cr * o, wp),
+                             lambda bi, hi, ri: (bi, ri, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, cr, o * hb),
+                             lambda bi, hi, ri: (bi, ri, hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, wp, hb * c),
+                                   lambda bi, hi, ri: (bi, hi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, hp // hb, wp, hb * c),
+                                           dtype),
+            scratch_shapes=[pltpu.VMEM((wp, hb * c), jnp.float32)],
+            interpret=interpret,
+        )(g2, wx, wy)
+        # (B, n_hb, W_p, hb·C) → (B, H, W, C)
+        gf = gfp.reshape(b, hp // hb, wp, hb, c).transpose(0, 1, 3, 2, 4)
+        gf = gf.reshape(b, hp, wp, c)[:, :h, :w]
+        grads.append(gf)
+    return tuple(grads), jnp.zeros_like(rois)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def roi_align_fpn_fused(feats, rois, strides=(4, 8, 16, 32), out_size=7,
+                        sampling_ratio=2, aligned=True, finest_scale=56,
+                        roi_chunk=64, h_block=8, interpret=False):
+    """Multi-level fused RoIAlign: tuple of (B,H_l,W_l,C) × (B,R,4) →
+    (B,R,o,o,C). Numerics match `ops.roi_align.batched_roi_align_fpn`
+    (same `_roi_weights`, same level one-hot). Gradient flows to `feats`
+    only — proposals are detached on every caller path."""
+    out, _ = _fpn_fused_fwd(tuple(feats), rois, strides, out_size,
+                            sampling_ratio, aligned, finest_scale,
+                            roi_chunk, h_block, interpret)
+    return out
+
+
+roi_align_fpn_fused.defvjp(
+    lambda feats, rois, *a: _fpn_fused_fwd(tuple(feats), rois, *a),
+    _fpn_fused_bwd)
