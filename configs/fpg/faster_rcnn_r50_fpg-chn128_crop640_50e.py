@@ -1,0 +1,5 @@
+# Counterpart of reference configs/fpg/faster_rcnn_r50_fpg-chn128_crop640_50e_coco.py
+# — 128-channel FPG (model.neck_channels; heads follow via shape
+# inference).
+_base_ = ['faster_rcnn_r50_fpg_crop640_50e.py']
+model = dict(neck_channels=128)

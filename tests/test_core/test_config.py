@@ -67,7 +67,9 @@ def test_all_repo_configs_load():
     root = os.path.join(os.path.dirname(__file__), '..', '..', 'configs')
     count = 0
     for dirpath, _, files in os.walk(root):
-        if '_base_' in dirpath:
+        # configs/common mirrors the reference's shared _base_ blocks
+        # (no model key, inherited by other families)
+        if '_base_' in dirpath or dirpath.endswith(os.sep + 'common'):
             continue
         for f in files:
             if f.endswith('.py'):
@@ -87,7 +89,7 @@ def test_all_repo_configs_build_modules():
     root = os.path.join(os.path.dirname(__file__), '..', '..', 'configs')
     count = 0
     for dirpath, _, files in os.walk(root):
-        if '_base_' in dirpath:
+        if '_base_' in dirpath or dirpath.endswith(os.sep + 'common'):
             continue
         for f in sorted(files):
             if not f.endswith('.py'):

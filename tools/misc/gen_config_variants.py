@@ -60,6 +60,7 @@ BASES = {
     'vfnet': 'vfnet/vfnet_r50_fpn_1x.py',
     'reppoints_moment': 'reppoints/reppoints_moment_r50_fpn_1x.py',
     'ga_retinanet': 'guided_anchoring/ga_retinanet_r50_fpn_1x.py',
+    'ga_faster': 'guided_anchoring/ga_faster_r50_fpn_1x.py',
     'ga_rpn': 'guided_anchoring/ga_rpn_r50_fpn_1x.py',
     'sabl_retinanet': 'sabl/sabl_retinanet_r50_fpn_1x.py',
     'grid_rcnn': 'grid_rcnn/grid_rcnn_r50_fpn_2x.py',
@@ -241,8 +242,9 @@ def parse(stem):
             typ = 'DCN' if t == 'dconv' else 'DCNv2'
             stages = (False, True, True, True) if nxt == 'c3-c5' \
                 else (False, False, True, True)
-            bb.setdefault('type', 'ResNet')
-            bb.setdefault('depth', 50)
+            if 'type' not in bb:
+                bb['type'] = 'ResNet'
+                bb['depth'] = 50
             bb['dcn'] = dict(type=typ, deform_groups=1,
                              fallback_on_stride=False)
             bb['stage_with_dcn'] = stages
@@ -645,6 +647,12 @@ gn+ws/mask_rcnn_x101_32x4d_fpn_gn_ws-all_2x
 gn+ws/mask_rcnn_x101_32x4d_fpn_gn_ws-all_20_23_24e
 gn+ws/mask_rcnn_x50_32x4d_fpn_gn_ws-all_2x
 gn+ws/mask_rcnn_x50_32x4d_fpn_gn_ws-all_20_23_24e
+guided_anchoring/ga_faster_r50_caffe_fpn_1x
+guided_anchoring/ga_faster_r101_caffe_fpn_1x
+guided_anchoring/ga_faster_x101_32x4d_fpn_1x
+guided_anchoring/ga_faster_x101_64x4d_fpn_1x
+vfnet/vfnet_r2_101_fpn_mdconv_c3-c5_mstrain_2x
+regnet/mask_rcnn_regnetx-3.2GF_fpn_mdconv_c3-c5_1x
 guided_anchoring/ga_retinanet_r101_caffe_fpn_1x
 guided_anchoring/ga_retinanet_r101_caffe_fpn_mstrain_2x
 guided_anchoring/ga_retinanet_r50_caffe_fpn_1x

@@ -60,9 +60,12 @@ def _translate_mmdet_keys(cfg: Dict[str, Any]) -> Dict[str, Any]:
             cfg.setdefault('conv_ws', True)
     dcn = cfg.pop('dcn', None)
     if dcn is not None:
-        dd = dict(dcn) if not isinstance(dcn, dict) else dcn
-        typ = str(dd.get('type', 'DCN')).lower()
-        cfg.setdefault('dcn', 'dcnv2' if typ == 'dcnv2' else 'dcn')
+        if isinstance(dcn, str):          # already this build's form
+            cfg.setdefault('dcn', dcn)
+        else:
+            dd = dict(dcn)
+            typ = str(dd.get('type', 'DCN')).lower()
+            cfg.setdefault('dcn', 'dcnv2' if typ == 'dcnv2' else 'dcn')
     # mmdet `with_cp=True` IS activation checkpointing (torch.utils
     # .checkpoint per block) — map to jax.checkpoint remat, same semantics
     if cfg.pop('with_cp', False):

@@ -46,6 +46,7 @@ class Bottle2neck(nn.Module):
     stride: int = 1
     downsample: bool = False
     stage_type: bool = False     # True at stage entry (stype='stage')
+    dcn: str = ''                # ''|'dcn'|'dcnv2' on the scale convs
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -60,8 +61,28 @@ class Bottle2neck(nn.Module):
         sp = None
         for i in range(self.scales - 1):
             inp = splits[i] if (i == 0 or self.stage_type) else sp + splits[i]
-            sp = _conv_bn_relu(inp, width, 3, s=self.stride,
-                               name=f'convs{i}', dtype=self.dtype)
+            if self.dcn:
+                # reference res2net.py Bottle2neck dcn: each scale conv is
+                # deformable in the configured stages (vfnet r2-101 mdconv
+                # row, configs/vfnet)
+                from ..layers.plugins import DeformConv
+                k = 27 if self.dcn == 'dcnv2' else 18
+                off = nn.Conv(k, (3, 3), strides=(self.stride, self.stride),
+                              padding=[(1, 1)] * 2,
+                              kernel_init=nn.initializers.zeros,
+                              dtype=self.dtype,
+                              name=f'convs{i}_offset')(inp)
+                mask = None
+                if self.dcn == 'dcnv2':
+                    off, mask = off[..., :18], jax.nn.sigmoid(off[..., 18:])
+                sp = DeformConv(width, 3, strides=self.stride,
+                                dtype=self.dtype,
+                                name=f'convs{i}_dcn')(inp, off, mask)
+                sp = nn.relu(FrozenBatchNorm(width,
+                                             name=f'convs{i}_bn')(sp))
+            else:
+                sp = _conv_bn_relu(inp, width, 3, s=self.stride,
+                                   name=f'convs{i}', dtype=self.dtype)
             outs.append(sp)
         last = splits[-1]
         if self.stage_type and self.stride > 1:
@@ -94,6 +115,8 @@ class Res2Net(nn.Module):
     base_width: int = 26
     out_indices: Sequence[int] = (0, 1, 2, 3)
     frozen_stages: int = -1
+    dcn: str = ''                # configs/vfnet r2-101 mdconv row
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
     dtype: jnp.dtype = jnp.float32
 
     def stage_channels(self) -> Tuple[int, ...]:
@@ -118,6 +141,8 @@ class Res2Net(nn.Module):
                                 base_width=self.base_width,
                                 stride=(1 if i == 0 else 2) if first else 1,
                                 downsample=first,
+                                dcn=self.dcn if self.stage_with_dcn[i]
+                                else '',
                                 stage_type=first, dtype=self.dtype,
                                 name=f'layer{i + 1}/{b}')(x)
             if self.frozen_stages >= i + 1:
@@ -165,6 +190,8 @@ class RegNet(nn.Module):
     arch: str = 'regnetx_3.2gf'
     out_indices: Sequence[int] = (0, 1, 2, 3)
     frozen_stages: int = -1
+    dcn: str = ''                # configs/regnet mdconv row
+    stage_with_dcn: Sequence[bool] = (False, False, False, False)
     dtype: jnp.dtype = jnp.float32
 
     def _design(self):
@@ -191,8 +218,28 @@ class RegNet(nn.Module):
                 stride = 2 if first else 1
                 h = _conv_bn_relu(x, w_out, 1, name=f's{i}b{b}_1',
                                   dtype=self.dtype)
-                h = _conv_bn_relu(h, w_out, 3, s=stride, groups=groups,
-                                  name=f's{i}b{b}_2', dtype=self.dtype)
+                if self.dcn and self.stage_with_dcn[i]:
+                    # reference regnet.py routes dcn into the group conv
+                    # (mask_rcnn_regnetx-3.2GF mdconv row, configs/regnet)
+                    from ..layers.plugins import DeformConv
+                    k = 27 if self.dcn == 'dcnv2' else 18
+                    off = nn.Conv(k, (3, 3), strides=(stride, stride),
+                                  padding=[(1, 1)] * 2,
+                                  kernel_init=nn.initializers.zeros,
+                                  dtype=self.dtype,
+                                  name=f's{i}b{b}_2_offset')(h)
+                    mask = None
+                    if self.dcn == 'dcnv2':
+                        off, mask = (off[..., :18],
+                                     jax.nn.sigmoid(off[..., 18:]))
+                    h = DeformConv(w_out, 3, strides=stride,
+                                   dtype=self.dtype,
+                                   name=f's{i}b{b}_2_dcn')(h, off, mask)
+                    h = nn.relu(FrozenBatchNorm(
+                        w_out, name=f's{i}b{b}_2_bn')(h))
+                else:
+                    h = _conv_bn_relu(h, w_out, 3, s=stride, groups=groups,
+                                      name=f's{i}b{b}_2', dtype=self.dtype)
                 h = _conv_bn_relu(h, w_out, 1, name=f's{i}b{b}_3',
                                   dtype=self.dtype, relu=False)
                 if first:
@@ -299,6 +346,46 @@ class ResNeSt(nn.Module):
         if return_all_stages:
             return tuple(outs)
         return tuple(outs[i] for i in self.out_indices)
+
+
+@BACKBONES.register_module()
+class VGG(nn.Module):
+    """Plain multi-stage VGG-16 trunk for two-stage detectors (the fork's
+    VGG16 Faster R-CNN baseline, reference
+    `configs/_base_/models/faster_rcnn_vgg16.py` + mmcv `vgg.py:VGG`).
+    Returns post-pool features of conv2..conv5 (strides 4/8/16/32,
+    channels 128/256/512/512) so FPN composes via `stage_channels()`."""
+
+    depth: int = 16
+    frozen_stages: int = 1
+    with_bn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def stage_channels(self) -> Tuple[int, ...]:
+        return (128, 256, 512, 512)
+
+    @nn.compact
+    def __call__(self, x):
+        blocks = {11: (1, 1, 2, 2, 2), 13: (2, 2, 2, 2, 2),
+                  16: (2, 2, 3, 3, 3), 19: (2, 2, 4, 4, 4)}[self.depth]
+        chans = (64, 128, 256, 512, 512)
+        outs = []
+        for si, (n, ch) in enumerate(zip(blocks, chans)):
+            for bi in range(n):
+                x = nn.Conv(ch, (3, 3), padding=[(1, 1)] * 2,
+                            dtype=self.dtype,
+                            name=f'conv{si + 1}_{bi + 1}')(x)
+                if self.with_bn:
+                    x = nn.BatchNorm(use_running_average=True,
+                                     dtype=self.dtype,
+                                     name=f'bn{si + 1}_{bi + 1}')(x)
+                x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), (2, 2))
+            if self.frozen_stages >= si + 1:
+                x = jax.lax.stop_gradient(x)
+            if si >= 1:
+                outs.append(x)
+        return tuple(outs)
 
 
 @BACKBONES.register_module()

@@ -51,6 +51,10 @@ class CascadeRCNN(nn.Module):
                                                   max_per_img=1000)
     num_samples: int = 512
     roi_test_cfg: RoITestConfig = RoITestConfig()
+    # 'softmax' | 'seesaw' — configs/seesaw_loss cascade_mask rows
+    # (reference cascade_mask_rcnn_*_seesaw_loss_*_lvis_v1.py): per-stage
+    # NormedLinear K+2 heads, per-stage running class counts
+    loss_cls: str = 'softmax'
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -63,10 +67,34 @@ class CascadeRCNN(nn.Module):
         self.rpn_head = FPNRPNHead(dtype=self.dtype)
         self.bbox_heads = [
             Shared2FCBBoxHead(num_classes=self.num_classes, in_channels=256,
-                              reg_class_agnostic=True, dtype=self.dtype,
+                              reg_class_agnostic=True,
+                              seesaw=self.loss_cls == 'seesaw',
+                              dtype=self.dtype,
                               name=f'bbox_head_{i}')
             for i in range(3)
         ]
+        if self.loss_cls == 'seesaw':
+            self.seesaw_cums = [
+                self.variable('batch_stats', f'seesaw_cum_samples_{i}',
+                              lambda: jnp.zeros((self.num_classes,),
+                                                jnp.float32))
+                for i in range(3)
+            ]
+
+    def _stage_bbox_losses(self, i, cls_s, reg_s, sampled, cfg):
+        """bbox_loss, with the cls entry swapped for seesaw CE +
+        objectness CE when `loss_cls='seesaw'` (MaskRCNN's seesaw path,
+        per cascade stage)."""
+        if self.loss_cls != 'seesaw':
+            return bbox_loss(cls_s, reg_s, sampled, self.num_classes, cfg)
+        from ..roi_heads.standard_roi_head import seesaw_cls_losses
+        det = bbox_loss(cls_s[..., :self.num_classes + 1], reg_s, sampled,
+                        self.num_classes, cfg)
+        ss, new_cum = seesaw_cls_losses(cls_s, sampled, self.num_classes,
+                                        self.seesaw_cums[i].value)
+        self.seesaw_cums[i].value = new_cum
+        det.update(ss)
+        return det
 
     def _stage_cfg(self, i: int) -> RoITrainConfig:
         return RoITrainConfig(
@@ -108,8 +136,8 @@ class CascadeRCNN(nn.Module):
                                   cfg)
             roi_feats = extract_roi_feats_fpn(feats, sampled.rois)
             cls_s, reg_s, _ = head(roi_feats)
-            stage_losses = bbox_loss(cls_s, reg_s, sampled, self.num_classes,
-                                     cfg)
+            stage_losses = self._stage_bbox_losses(i, cls_s, reg_s, sampled,
+                                                   cfg)
             for k, v in stage_losses.items():
                 losses[f's{i}.{k}'] = v * STAGE_WEIGHTS[i]
             # refine boxes for the next stage (class-agnostic regression)
@@ -132,6 +160,9 @@ class CascadeRCNN(nn.Module):
         for i, head in enumerate(self.bbox_heads):
             roi_feats = extract_roi_feats_fpn(feats, boxes)
             cls_s, reg_s, _ = head(roi_feats)
+            if self.loss_cls == 'seesaw':
+                from ..roi_heads.standard_roi_head import seesaw_activation
+                cls_s = seesaw_activation(cls_s, self.num_classes)
             score_sum = score_sum + jax.nn.softmax(
                 cls_s.astype(jnp.float32), axis=-1)
             if i < 2:   # refine for next stage
@@ -168,13 +199,16 @@ class CascadeMaskRCNN(CascadeRCNN):
     `CascadeRoIHead.simple_test_mask` semantics)."""
 
     mask_size: int = 28
+    # seesaw `*_normed_mask_*` rows: NormedConv2d mask predictors
+    normed_mask: bool = False
 
     def setup(self):
         super().setup()
         from ..roi_heads.mask_head import FCNMaskHead
         self.mask_heads = [
-            FCNMaskHead(num_classes=self.num_classes, dtype=self.dtype,
-                        name=f'mask_head_{i}')
+            FCNMaskHead(num_classes=self.num_classes,
+                        normed_predictor=self.normed_mask,
+                        dtype=self.dtype, name=f'mask_head_{i}')
             for i in range(3)
         ]
 
@@ -201,8 +235,8 @@ class CascadeMaskRCNN(CascadeRCNN):
                                   cfg)
             roi_feats = extract_roi_feats_fpn(feats, sampled.rois)
             cls_s, reg_s, _ = head(roi_feats)
-            stage_losses = bbox_loss(cls_s, reg_s, sampled, self.num_classes,
-                                     cfg)
+            stage_losses = self._stage_bbox_losses(i, cls_s, reg_s, sampled,
+                                                   cfg)
             mask_feats = extract_roi_feats_fpn(feats, sampled.rois,
                                                out_size=self.mask_size // 2)
             mask_logits = self.mask_heads[i](mask_feats)

@@ -31,6 +31,18 @@ from .detr import (_cxcywh_to_xyxy, _xyxy_to_cxcywh,
                    sine_positional_encoding, DETRTestConfig)
 
 
+def _proposal_sine_embed(boxes: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """(B, N, 4) normalized cxcywh → (B, N, 2·dim) sine embedding of the
+    four coordinates (reference `deformable_transformer.py`
+    get_proposal_pos_embed: dim/2 features per coordinate)."""
+    quarter = dim // 2
+    temp = (10000.0 ** (2 * (jnp.arange(quarter // 2)) / quarter)
+            ).astype(jnp.float32)
+    ang = boxes[..., None] * (2 * np.pi) / temp        # (B, N, 4, q/2)
+    emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    return emb.reshape(*boxes.shape[:-1], -1)          # (B, N, 4·q = 2·dim)
+
+
 class MSDeformAttnLayer(nn.Module):
     """One deformable attention block: sampling offsets + weights are
     linear functions of the query (`transformer.py:MultiScaleDeformableAttention`)."""
@@ -120,6 +132,13 @@ class DeformableDETR(nn.Module):
     l1_weight: float = 5.0
     giou_weight: float = 2.0
     aux_loss: bool = True
+    # reference configs/deformable_detr row triple: plain
+    # (with_box_refine=False), `_refine` (True, the default here), and
+    # `_twostage_refine` (as_two_stage=True — encoder tokens propose the
+    # initial query boxes, reference `deformable_detr_head.py`
+    # gen_encoder_output_proposals path)
+    with_box_refine: bool = True
+    as_two_stage: bool = False
     test_cfg: DETRTestConfig = DETRTestConfig()
     dtype: Any = jnp.float32
 
@@ -150,6 +169,20 @@ class DeformableDETR(nn.Module):
             (self.num_levels, self.embed_dim))
         self.ref_point_head = nn.Dense(2, dtype=self.dtype,
                                        name='ref_point_head')
+        if self.as_two_stage:
+            # encoder-proposal scoring + delta heads (reference
+            # `deformable_transformer.py` enc_output / pos_trans path)
+            self.enc_cls = nn.Dense(self.num_classes, dtype=self.dtype,
+                                    bias_init=nn.initializers.constant(
+                                        -4.595), name='enc_cls')
+            self.enc_box = [nn.Dense(self.embed_dim, dtype=self.dtype,
+                                     name='enc_box_0'),
+                            nn.Dense(self.embed_dim, dtype=self.dtype,
+                                     name='enc_box_1'),
+                            nn.Dense(4, dtype=self.dtype,
+                                     name='enc_box_out')]
+            self.pos_trans = nn.Dense(self.embed_dim * 2, dtype=self.dtype,
+                                      name='pos_trans')
         self.cls_heads = [nn.Dense(self.num_classes, dtype=self.dtype,
                                    bias_init=nn.initializers.constant(
                                        -4.595), name=f'cls{i}')
@@ -197,14 +230,44 @@ class DeformableDETR(nn.Module):
         for layer in self.encoder:
             mem = layer(mem, enc_ref, spatial_shapes, pos)
 
-        q_pos, q_feat = jnp.split(
-            self.query_embed[None].astype(self.dtype), 2, axis=-1)
-        q = jnp.broadcast_to(q_feat, (b, self.num_queries, self.embed_dim))
-        q_pos = jnp.broadcast_to(q_pos,
+        enc_out = None
+        if self.as_two_stage:
+            # per-token base proposal: own center, wh = 0.05·2^lvl
+            # (reference gen_encoder_output_proposals), refined by the
+            # enc box MLP; top-num_queries tokens become the queries.
+            whs = []
+            for li, (h, w) in enumerate(spatial_shapes):
+                whs.append(np.full((h * w, 2), 0.05 * (2.0 ** li),
+                                   np.float32))
+            base = jnp.concatenate(
+                [enc_ref[..., 0, :],
+                 jnp.broadcast_to(jnp.asarray(np.concatenate(whs))[None],
+                                  (b, mem.shape[1], 2))], axis=-1)
+            base_logit = jnp.log(jnp.clip(base / (1 - base), 1e-6, 1e6))
+            delta = self._box_mlp(self.enc_box, mem)
+            enc_boxes = jax.nn.sigmoid(delta + base_logit)
+            enc_logits = self.enc_cls(mem).astype(jnp.float32)
+            _, topk = jax.lax.top_k(enc_logits.max(-1), self.num_queries)
+
+            def take(arr):
+                return jnp.take_along_axis(arr, topk[..., None], axis=1)
+            sel_box = take(enc_boxes)
+            enc_out = (take(enc_logits), sel_box)
+            ref = jax.lax.stop_gradient(sel_box[..., :2])
+            pe = _proposal_sine_embed(jax.lax.stop_gradient(sel_box),
+                                      self.embed_dim)
+            q_pos, q = jnp.split(
+                self.pos_trans(pe.astype(self.dtype)), 2, axis=-1)
+        else:
+            q_pos, q_feat = jnp.split(
+                self.query_embed[None].astype(self.dtype), 2, axis=-1)
+            q = jnp.broadcast_to(q_feat,
                                  (b, self.num_queries, self.embed_dim))
-        # initial reference points from query pos embedding
-        ref = jax.nn.sigmoid(
-            self.ref_point_head(q_pos).astype(jnp.float32))
+            q_pos = jnp.broadcast_to(q_pos,
+                                     (b, self.num_queries, self.embed_dim))
+            # initial reference points from query pos embedding
+            ref = jax.nn.sigmoid(
+                self.ref_point_head(q_pos).astype(jnp.float32))
 
         cls_all, box_all = [], []
         for li, layer in enumerate(self.decoder):
@@ -219,11 +282,17 @@ class DeformableDETR(nn.Module):
             box = jnp.concatenate([xy, wh], axis=-1)
             cls_all.append(self.cls_heads[li](q).astype(jnp.float32))
             box_all.append(box)
-            ref = jax.lax.stop_gradient(xy)        # iterative refinement
-        return cls_all, box_all
+            if self.with_box_refine:
+                ref = jax.lax.stop_gradient(xy)    # iterative refinement
+        return cls_all, box_all, enc_out
 
     def loss(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-        cls_all, box_all = self._forward(batch['image'])
+        cls_all, box_all, enc_out = self._forward(batch['image'])
+        if enc_out is not None:
+            # encoder-proposal aux loss, same matcher as a decoder layer
+            # (reference DeformableDETRHead loss_single on enc_outputs)
+            cls_all = [enc_out[0]] + list(cls_all)
+            box_all = [enc_out[1]] + list(box_all)
         hw = batch['img_shape'].astype(jnp.float32)
         scale = jnp.stack([hw[:, 1], hw[:, 0], hw[:, 1], hw[:, 0]], -1)
         gt_norm = _xyxy_to_cxcywh(batch['gt_bboxes'] / scale[:, None, :])
@@ -245,7 +314,7 @@ class DeformableDETR(nn.Module):
         return losses
 
     def predict(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-        cls_all, box_all = self._forward(batch['image'])
+        cls_all, box_all, _ = self._forward(batch['image'])
         probs = jax.nn.sigmoid(cls_all[-1])
         hw = batch['img_shape'].astype(jnp.float32)
         scale = jnp.stack([hw[:, 1], hw[:, 0], hw[:, 1], hw[:, 0]], -1)

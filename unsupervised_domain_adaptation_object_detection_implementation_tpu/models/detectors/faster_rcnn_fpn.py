@@ -69,6 +69,7 @@ class FasterRCNNFPN(nn.Module):
                                                   max_per_img=1000)
     roi_train_cfg: RoITrainConfig = RoITrainConfig(use_sigmoid_cls=False)
     roi_test_cfg: RoITestConfig = RoITestConfig()
+    neck_channels: int = 256      # configs/fpg chn128 rows
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -78,10 +79,11 @@ class FasterRCNNFPN(nn.Module):
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = make_fpn_neck(
             self.neck_type, in_channels=self.backbone.stage_channels(),
-            out_channels=256, num_outs=5, dtype=self.dtype)
+            out_channels=self.neck_channels, num_outs=5, dtype=self.dtype)
         self.rpn_head = FPNRPNHead(dtype=self.dtype)
         self.bbox_head = Shared2FCBBoxHead(
-            num_classes=self.num_classes, in_channels=256, dtype=self.dtype)
+            num_classes=self.num_classes, in_channels=self.neck_channels,
+            dtype=self.dtype)
 
     @property
     def _roi_extract(self):

@@ -59,6 +59,9 @@ class MaskRCNN(nn.Module):
     roi_train_cfg: RoITrainConfig = RoITrainConfig(use_sigmoid_cls=False)
     roi_test_cfg: RoITestConfig = RoITestConfig()
     mask_size: int = 28
+    # configs/fpg chn128 rows: neck (and heads, via flax shape inference)
+    # at a narrower width
+    neck_channels: int = 256
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -68,10 +71,10 @@ class MaskRCNN(nn.Module):
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = make_fpn_neck(
             self.neck_type, in_channels=self.backbone.stage_channels(),
-            out_channels=256, num_outs=5, dtype=self.dtype)
+            out_channels=self.neck_channels, num_outs=5, dtype=self.dtype)
         self.rpn_head = FPNRPNHead(dtype=self.dtype)
         self.bbox_head = Shared2FCBBoxHead(
-            num_classes=self.num_classes, in_channels=256,
+            num_classes=self.num_classes, in_channels=self.neck_channels,
             seesaw=self.loss_cls == 'seesaw', dtype=self.dtype)
         self.mask_head = FCNMaskHead(num_classes=self.num_classes,
                                      normed_predictor=self.normed_mask,

@@ -23,8 +23,9 @@ from ..dense_heads.anchor_head import anchor_inside_flags
 from ..losses import sigmoid_focal_loss, smooth_l1_loss
 from ..losses.extra_losses import carl_weights, isr_p_weights
 from .retinanet import RetinaNet
-from .ssd import SSDLite
+from .ssd import SSD, SSDLite
 from .faster_rcnn_fpn import FasterRCNNFPN
+from .mask_rcnn import MaskRCNN
 
 
 def pisa_anchor_loss(cls_logits, reg_preds, anchors, gt_bboxes, gt_labels,
@@ -153,16 +154,34 @@ class PISASSDLite(SSDLite):
 
 
 @DETECTORS.register_module()
+class PISASSD(SSD):
+    """PISA on the VGG-16 SSD tower (reference
+    `configs/pisa/pisa_ssd300_coco.py`, `pisa_ssd512_coco.py`): identical
+    ISR-P + CARL loss as PISASSDLite, different trunk/anchors."""
+
+    loss = PISASSDLite.loss
+
+
+@DETECTORS.register_module()
 class PISAFasterRCNN(FasterRCNNFPN):
     """Two-stage PISA (reference `mmdet/models/roi_heads/pisa_roi_head.py`):
     standard FPN Faster R-CNN whose RoI classification loss carries ISR-P
     weights and whose regression carries CARL."""
 
     def loss(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-        from ..dense_heads.rpn_head import rpn_loss, rpn_proposals
-        from ..roi_heads.standard_roi_head import (extract_roi_feats_fpn,
-                                                   sample_rois)
-        from ..losses.cross_entropy_loss import softmax_cross_entropy
+        losses, _, _ = _pisa_two_stage_losses(self, batch)
+        return losses
+
+
+def _pisa_two_stage_losses(self, batch):
+    """Shared RPN + ISR-P/CARL RoI losses for the two-stage PISA rows;
+    returns (losses, feats, sampled) so PISAMaskRCNN can append its mask
+    branch on the same sampled RoIs."""
+    from ..dense_heads.rpn_head import rpn_loss, rpn_proposals
+    from ..roi_heads.standard_roi_head import (extract_roi_feats_fpn,
+                                               sample_rois)
+    from ..losses.cross_entropy_loss import softmax_cross_entropy
+    if True:
         feats, cls, reg, anchors = self._flat_rpn(batch['image'])
         b, n = cls.shape
         losses = rpn_loss(cls.reshape(b, n, 1, 1), reg.reshape(b, n, 1, 4),
@@ -215,4 +234,25 @@ class PISAFasterRCNN(FasterRCNNFPN):
         denom = jnp.maximum(jnp.sum(cnt), 1.0)
         losses.update(loss_cls=jnp.sum(cls_l) / denom,
                       loss_bbox=jnp.sum(reg_l) / denom)
+        return losses, feats, sampled
+
+
+@DETECTORS.register_module()
+class PISAMaskRCNN(MaskRCNN):
+    """PISA on Mask R-CNN (reference `configs/pisa/pisa_mask_rcnn_r50_fpn_
+    1x_coco.py` via `pisa_roi_head.py`): ISR-P/CARL bbox losses + the
+    standard mask branch on the same sampled RoIs."""
+
+    def loss(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        from ..roi_heads.mask_head import (mask_loss,
+                                           mask_targets_from_box_frame)
+        losses, feats, sampled = _pisa_two_stage_losses(self, batch)
+        mask_feats = self._roi_extract(feats, sampled.rois,
+                                       out_size=self.mask_size // 2)
+        mask_logits = self.mask_head(mask_feats)
+        targets = mask_targets_from_box_frame(
+            batch['gt_masks'], batch['gt_bboxes'], sampled.rois,
+            sampled.matched_gt, self.mask_size)
+        pos_w = (sampled.is_pos & sampled.label_valid).astype(jnp.float32)
+        losses.update(mask_loss(mask_logits, targets, sampled.labels, pos_w))
         return losses

@@ -47,6 +47,21 @@ def points2bbox_moment(pts: jnp.ndarray, moment: jnp.ndarray,
     return jnp.concatenate([mean - half, mean + half], axis=-1)
 
 
+def points2bbox(pts: jnp.ndarray, moment: jnp.ndarray,
+                method: str = 'moment') -> jnp.ndarray:
+    """Dispatch over the reference's three point→box transfers
+    (`reppoints_head.py:points2bbox` transform_method): 'moment'
+    (mean ± exp(moment)·std), 'minmax' (tight bbox of all 9 points),
+    'partial_minmax' (bbox of the first 4 points only — the reference's
+    reppoints_partial_minmax config)."""
+    if method == 'moment':
+        return points2bbox_moment(pts, moment)
+    sel = pts[..., :4, :] if method == 'partial_minmax' else pts
+    lo = sel.min(axis=-2)
+    hi = sel.max(axis=-2)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 @HEADS.register_module()
 class RepPointsHead(nn.Module):
     num_classes: int = 80
@@ -117,6 +132,9 @@ class RepPoints(nn.Module):
     frozen_stages: int = 1
     strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     point_base_scale: int = 4
+    # 'moment' | 'minmax' | 'partial_minmax' (reference reppoints configs
+    # reppoints_{minmax,partial_minmax}_r50_fpn_gn-neck+head_1x_coco.py)
+    transform_method: str = 'moment'
     test_cfg: DensePredictConfig = DensePredictConfig()
     dtype: Any = jnp.float32
 
@@ -159,8 +177,8 @@ class RepPoints(nn.Module):
 
         pts_init = jax.vmap(to_xy)(off_init)
         pts_ref = jax.vmap(to_xy)(off_ref)
-        box_init = points2bbox_moment(pts_init, self.moment)
-        box_ref = points2bbox_moment(pts_ref, self.moment)
+        box_init = points2bbox(pts_init, self.moment, self.transform_method)
+        box_ref = points2bbox(pts_ref, self.moment, self.transform_method)
         return cls, box_init, box_ref, centers, strides_f
 
     def loss(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:

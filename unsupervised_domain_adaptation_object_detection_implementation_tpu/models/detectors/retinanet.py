@@ -121,6 +121,7 @@ class RetinaNet(nn.Module):
     train_cfg: DenseAnchorTrainConfig = DenseAnchorTrainConfig()
     test_cfg: DensePredictConfig = DensePredictConfig()
     sep_bn_head: bool = False     # reference retina_sepbn_head.py variant
+    neck_channels: int = 256      # configs/fpg chn128 rows
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -130,7 +131,7 @@ class RetinaNet(nn.Module):
             frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = make_fpn_neck(
             self.neck_type, in_channels=self.backbone.stage_channels(),
-            out_channels=256, num_outs=5, start_level=1,
+            out_channels=self.neck_channels, num_outs=5, start_level=1,
             add_extra_convs='on_input', dtype=self.dtype)
         head_cls = RetinaSepBNHead if self.sep_bn_head else RetinaHead
         self.bbox_head = head_cls(

@@ -131,17 +131,20 @@ class FastRCNN(nn.Module):
     backbone_depth: int = 50
     backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
+    neck_type: str = 'FPN'    # 'BFP' -> configs/libra_rcnn libra_fast row
     roi_train_cfg: RoITrainConfig = RoITrainConfig(use_sigmoid_cls=False)
     roi_test_cfg: RoITestConfig = RoITestConfig()
     dtype: Any = jnp.float32
 
     def setup(self):
+        from ..necks.build import make_fpn_neck
         self.backbone = build_trunk(
             self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
             frozen_stages=self.frozen_stages, dtype=self.dtype)
-        self.neck = FPN(in_channels=self.backbone.stage_channels(),
-                        out_channels=256, num_outs=5, dtype=self.dtype)
+        self.neck = make_fpn_neck(
+            self.neck_type, in_channels=self.backbone.stage_channels(),
+            out_channels=256, num_outs=5, dtype=self.dtype)
         self.bbox_head = Shared2FCBBoxHead(
             num_classes=self.num_classes, in_channels=256, dtype=self.dtype)
 

@@ -3,9 +3,10 @@
 
 Segment Objects by LOcations: each S×S grid cell predicts a class score
 and a full-image instance mask for any object whose center falls in its
-cell. Decoupled variant omitted; this is vanilla SOLO with per-level grid
-sizes. Targets use the center-region rule (σ=0.2) and scale ranges; mask
-loss is Dice over positive cells.
+cell. `decoupled=True` selects Decoupled SOLO (reference
+`decoupled_solo_head.py`): separable x/y mask branches recombined into
+the coupled S² layout. Targets use the center-region rule (σ=0.2) and
+scale ranges; mask loss is Dice over positive cells.
 
 TPU shape: the (S², H, W) mask tower is one conv stack; target building is
 a dense (G, S²) matrix; Dice reduces over static mask pixels with cell
@@ -37,6 +38,12 @@ class SOLOHead(nn.Module):
     stacked_convs: int = 4
     grid_sizes: Sequence[int] = (40, 36, 24, 16, 12)
     mask_stride: int = 4
+    # Decoupled SOLO (reference `decoupled_solo_head.py`): the mask
+    # branch predicts S x-masks + S y-masks per level; cell (y, x)'s mask
+    # prob is sigmoid(mask_y[y])·sigmoid(mask_x[x]). Recombined here into
+    # the coupled head's S² logit layout (exact logit of the product), so
+    # the loss/predict paths are shared.
+    decoupled: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -81,9 +88,20 @@ class SOLOHead(nn.Module):
             mg = jax.image.resize(
                 mg, (b, mask_hw[0], mask_hw[1], self.feat_channels),
                 method='bilinear')
-            mask_out = nn.Conv(s * s, (1, 1), dtype=self.dtype,
-                               name=f'solo_mask_{li}')
-            mask_lv.append(mask_out(mg))                   # (B, Hm, Wm, S²)
+            if self.decoupled:
+                mx = nn.Conv(s, (1, 1), dtype=self.dtype,
+                             name=f'solo_mask_x_{li}')(mg)
+                my = nn.Conv(s, (1, 1), dtype=self.dtype,
+                             name=f'solo_mask_y_{li}')(mg)
+                p = (jax.nn.sigmoid(my.astype(jnp.float32))[..., :, None]
+                     * jax.nn.sigmoid(mx.astype(jnp.float32))[..., None, :])
+                p = jnp.clip(p, 1e-6, 1 - 1e-6)
+                logit = jnp.log(p / (1 - p))               # (B,Hm,Wm,S,S)
+                mask_lv.append(logit.reshape(*logit.shape[:-2], s * s))
+            else:
+                mask_out = nn.Conv(s * s, (1, 1), dtype=self.dtype,
+                                   name=f'solo_mask_{li}')
+                mask_lv.append(mask_out(mg))               # (B, Hm, Wm, S²)
         return cls_lv, mask_lv
 
 
@@ -94,6 +112,9 @@ class SOLO(nn.Module):
     backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     grid_sizes: Sequence[int] = (40, 36, 24, 16, 12)
+    # DecoupledSOLO rows (reference configs/solo/decoupled_solo_*): x/y
+    # separable mask branches recombined in SOLOHead
+    decoupled: bool = False
     sigma: float = 0.2
     score_thr: float = 0.1
     mask_thr: float = 0.5
@@ -108,7 +129,8 @@ class SOLO(nn.Module):
         self.neck = FPN(in_channels=self.backbone.stage_channels(),
                         out_channels=256, num_outs=5, dtype=self.dtype)
         self.head = SOLOHead(num_classes=self.num_classes,
-                             grid_sizes=self.grid_sizes, dtype=self.dtype)
+                             grid_sizes=self.grid_sizes,
+                             decoupled=self.decoupled, dtype=self.dtype)
 
     def _forward(self, image):
         feats = self.neck(self.backbone(image.astype(self.dtype)))

@@ -71,11 +71,15 @@ from ..detectors.htc import HTC  # noqa: E402  (consumer lives with neck)
 @DETECTORS.register_module()
 class DetectoRSHTC(HTC):
     """DetectoRS = HTC + RFP + SAC (reference
-    `configs/detectors/detectors_htc_r50_1x_coco.py`)."""
+    `configs/detectors/detectors_htc_r50_1x_coco.py`; the rfp-only
+    `htc_r50_rfp_1x_coco.py` row sets `sac_stages=()`)."""
+
+    sac_stages: Any = (1, 2, 3)
 
     def setup(self):
         super().setup()
         self.rfp = RFP(depth=self.backbone_depth,
+                       sac_stages=tuple(self.sac_stages),
                        frozen_stages=self.frozen_stages, dtype=self.dtype)
 
     def _flat_rpn(self, image):
