@@ -32,8 +32,10 @@ def _side_buckets(proposals: jnp.ndarray, num_buckets: int,
     """Bucket centers per side (`bucketing_bbox_coder.py:96`)."""
     p = bbox_rescale(proposals, scale_factor)
     side_num = int(np.ceil(num_buckets / 2.0))
-    pw = p[..., 2] - p[..., 0]
-    ph = p[..., 3] - p[..., 1]
+    # clamp: degenerate (padded/invalid) proposals would divide by zero
+    # and poison masked loss terms with NaN (nan·0 = nan)
+    pw = jnp.maximum(p[..., 2] - p[..., 0], 1e-4)
+    ph = jnp.maximum(p[..., 3] - p[..., 1], 1e-4)
     bucket_w = pw / num_buckets
     bucket_h = ph / num_buckets
     steps = 0.5 + jnp.arange(side_num, dtype=p.dtype)
