@@ -8,18 +8,18 @@ mkdir -p "$LOG"
 cd "$(dirname "$0")/../.."
 
 run() {
-  name=$1; shift
+  name=$1; cfg=$2
   echo "=== $name ==="
-  timeout 3000 python -u tools/train.py configs/da/synth_trunk_smoke.py \
-    --work-dir "$LOG/$name" --cfg-options "$@" \
+  timeout 3000 python -u tools/train.py "$cfg" \
+    --work-dir "$LOG/$name" \
     > "$LOG/$name.log" 2>&1
   echo "$name exit=$?"
   grep -o 'AP50[^,}]*' "$LOG/$name.log" | tail -3
 }
 
-run hrnet_w18  model.backbone_cfg.type=HRNet model.backbone_cfg.base_width=18
-run pvt_tiny   model.backbone_cfg.type=PVT
-run res2net50  model.backbone_cfg.type=Res2Net model.backbone_cfg.depth=50
-run regnet     model.backbone_cfg.type=RegNet
-run resnest50  model.backbone_cfg.type=ResNeSt model.backbone_cfg.depth=50
+run hrnet_w18  configs/da/synth_trunk_smoke.py
+run pvt_tiny   configs/da/synth_trunk_pvt.py
+run res2net50  configs/da/synth_trunk_res2net50.py
+run regnet     configs/da/synth_trunk_regnet.py
+run resnest50  configs/da/synth_trunk_resnest50.py
 echo ALL DONE

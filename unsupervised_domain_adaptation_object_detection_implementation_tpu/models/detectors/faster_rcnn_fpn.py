@@ -60,6 +60,9 @@ class FasterRCNNFPN(nn.Module):
     backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     neck_type: str = 'FPN'  # configs/pafpn|nas_fpn|carafe|fpg|libra_rcnn
     roi_extractor_type: str = 'single'  # 'groie' → configs/groie
+    # 'align' | 'dpool' | 'mdpool' (configs/dcn faster_rcnn_r50_fpn_
+    # {dpool,mdpool}_1x rows — deformable RoI pooling, ops/roi_pool.py)
+    roi_layer: str = 'align'
     frozen_stages: int = 1
     rpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
     rpn_train_cfg: RPNTrainConfig = RPNTrainConfig()
@@ -84,12 +87,42 @@ class FasterRCNNFPN(nn.Module):
         self.bbox_head = Shared2FCBBoxHead(
             num_classes=self.num_classes, in_channels=self.neck_channels,
             dtype=self.dtype)
+        if self.roi_layer in ('dpool', 'mdpool'):
+            import flax.linen as nn
+            k = 7 * 7 * (3 if self.roi_layer == 'mdpool' else 2)
+            # zero-init like mmcv DeformRoIPoolPack's offset fc
+            self.dpool_offset_fc = nn.Dense(
+                k, kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros, dtype=self.dtype,
+                name='dpool_offset_fc')
 
     @property
     def _roi_extract(self):
+        if self.roi_layer in ('dpool', 'mdpool'):
+            return self._dpool_extract
         return (extract_roi_feats_groie
                 if self.roi_extractor_type == 'groie'
                 else extract_roi_feats_fpn)
+
+    def _dpool_extract(self, feats, rois, out_size: int = 7, **kw):
+        """Deformable RoI pooling (reference mmcv DeformRoIPoolPack /
+        ModulatedDeformRoIPoolPack; configs/dcn dpool/mdpool rows): base
+        RoIAlign feats feed a zero-init offset fc, then the deformable
+        re-pool samples at offset bins."""
+        from ...ops.roi_pool import deform_roi_pool_fpn
+        base = extract_roi_feats_fpn(feats, rois, out_size=out_size, **kw)
+        b, r = rois.shape[:2]
+        pred = self.dpool_offset_fc(base.reshape(b, r, -1))
+        pred = pred.astype(jnp.float32)
+        off = pred[..., :2 * out_size * out_size].reshape(
+            b, r, out_size, out_size, 2)
+        out = deform_roi_pool_fpn(feats, rois, off, out_size=out_size)
+        if self.roi_layer == 'mdpool':
+            mask = jax.nn.sigmoid(
+                pred[..., 2 * out_size * out_size:]).reshape(
+                    b, r, out_size, out_size, 1)
+            out = out * mask
+        return out.astype(base.dtype)
 
     def _flat_rpn(self, image):
         feats = self.neck(self.backbone(image.astype(self.dtype)))

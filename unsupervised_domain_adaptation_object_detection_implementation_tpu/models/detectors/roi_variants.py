@@ -52,6 +52,8 @@ class _TwoStageBase(nn.Module):
     backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
     rpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    # 'single' | 'groie' (configs/groie grid_rcnn_*_groie row)
+    roi_extractor_type: str = 'single'
     rpn_train_cfg: RPNTrainConfig = RPNTrainConfig()
     rpn_proposal_cfg: ProposalConfig = ProposalConfig(nms_pre=4096,
                                                       max_per_img=1000)
@@ -60,6 +62,14 @@ class _TwoStageBase(nn.Module):
     roi_train_cfg: RoITrainConfig = RoITrainConfig(use_sigmoid_cls=False)
     roi_test_cfg: RoITestConfig = RoITestConfig()
     dtype: Any = jnp.float32
+
+    @property
+    def _roi_extract(self):
+        from ..roi_heads.standard_roi_head import (extract_roi_feats_fpn,
+                                                   extract_roi_feats_groie)
+        return (extract_roi_feats_groie
+                if self.roi_extractor_type == 'groie'
+                else extract_roi_feats_fpn)
 
     def _setup_trunk(self):
         self.backbone = build_trunk(
@@ -153,11 +163,11 @@ class MaskScoringRCNN(_TwoStageBase):
 
     def loss(self, batch):
         feats, losses, sampled = self._rpn_and_sample(batch)
-        roi_feats = extract_roi_feats_fpn(feats, sampled.rois)
+        roi_feats = self._roi_extract(feats, sampled.rois)
         cls_s, reg_s, _ = self.bbox_head(roi_feats)
         losses.update(bbox_loss(cls_s, reg_s, sampled, self.num_classes,
                                 self.roi_train_cfg))
-        mask_feats = extract_roi_feats_fpn(feats, sampled.rois,
+        mask_feats = self._roi_extract(feats, sampled.rois,
                                            out_size=self.mask_size // 2)
         mask_logits = self.mask_head(mask_feats)
         targets = mask_targets_from_box_frame(
@@ -190,9 +200,9 @@ class MaskScoringRCNN(_TwoStageBase):
             reg_class_agnostic=False,
             target_stds=self.roi_train_cfg.target_stds,
             use_sigmoid_cls=False, cfg=self.roi_test_cfg,
-            roi_extractor=lambda f, r: extract_roi_feats_fpn(f, r))
+            roi_extractor=lambda f, r: self._roi_extract(f, r))
         det_boxes = out['dets'][..., :4]
-        mask_feats = extract_roi_feats_fpn(feats, det_boxes,
+        mask_feats = self._roi_extract(feats, det_boxes,
                                            out_size=self.mask_size // 2)
         mask_logits = self.mask_head(mask_feats)
         lbl = jnp.clip(out['labels'], 0, self.num_classes - 1)
@@ -262,7 +272,7 @@ class DoubleHeadRCNN(_TwoStageBase):
 
     def loss(self, batch):
         feats, losses, sampled = self._rpn_and_sample(batch)
-        roi_feats = extract_roi_feats_fpn(feats, sampled.rois)
+        roi_feats = self._roi_extract(feats, sampled.rois)
         cls_s, reg_s, _ = self.bbox_head(roi_feats)
         # reference weights: cls 2.0, reg 2.0 (double_roi_head defaults 1)
         for k, v in bbox_loss(cls_s, reg_s, sampled, self.num_classes,
@@ -278,7 +288,7 @@ class DoubleHeadRCNN(_TwoStageBase):
             reg_class_agnostic=False,
             target_stds=self.roi_train_cfg.target_stds,
             use_sigmoid_cls=False, cfg=self.roi_test_cfg,
-            roi_extractor=lambda f, r: extract_roi_feats_fpn(f, r))
+            roi_extractor=lambda f, r: self._roi_extract(f, r))
 
     def __call__(self, batch, train: bool = True):
         return self.loss(batch) if train else self.predict(batch)
@@ -343,7 +353,7 @@ class DynamicRCNN(_TwoStageBase):
         sampled = sampled._replace(labels=labels,
                                    is_pos=sampled.is_pos & ~demote)
 
-        roi_feats = extract_roi_feats_fpn(feats, sampled.rois)
+        roi_feats = self._roi_extract(feats, sampled.rois)
         cls_s, reg_s, _ = self.bbox_head(roi_feats)
         # dynamic beta: beta_topk-th smallest |error| among positives
         err = jnp.abs(reg_s.astype(jnp.float32) - jnp.tile(
@@ -382,7 +392,7 @@ class DynamicRCNN(_TwoStageBase):
             reg_class_agnostic=False,
             target_stds=self.roi_train_cfg.target_stds,
             use_sigmoid_cls=False, cfg=self.roi_test_cfg,
-            roi_extractor=lambda f, r: extract_roi_feats_fpn(f, r))
+            roi_extractor=lambda f, r: self._roi_extract(f, r))
 
     def __call__(self, batch, train: bool = True):
         return self.loss(batch) if train else self.predict(batch)
@@ -479,7 +489,7 @@ class GridRCNN(_TwoStageBase):
 
     def loss(self, batch):
         feats, losses, sampled = self._rpn_and_sample(batch)
-        roi_feats = extract_roi_feats_fpn(feats, sampled.rois)
+        roi_feats = self._roi_extract(feats, sampled.rois)
         cls_s, reg_s, _ = self.bbox_head(roi_feats)
         # classification only from the bbox head (grid does localization)
         w = sampled.label_valid.astype(jnp.float32)
@@ -487,7 +497,7 @@ class GridRCNN(_TwoStageBase):
             softmax_cross_entropy(cls_s, sampled.labels) * w) / \
             jnp.maximum(jnp.sum(w), 1.0)
 
-        grid_feats = extract_roi_feats_fpn(feats, sampled.rois,
+        grid_feats = self._roi_extract(feats, sampled.rois,
                                            out_size=14)
         logits = self.grid_head(grid_feats)                   # (B,S,56,56,9)
         gt_m = jnp.take_along_axis(batch['gt_bboxes'],
@@ -620,11 +630,11 @@ class PointRend(_TwoStageBase):
 
     def loss(self, batch):
         feats, losses, sampled = self._rpn_and_sample(batch)
-        roi_feats = extract_roi_feats_fpn(feats, sampled.rois)
+        roi_feats = self._roi_extract(feats, sampled.rois)
         cls_s, reg_s, _ = self.bbox_head(roi_feats)
         losses.update(bbox_loss(cls_s, reg_s, sampled, self.num_classes,
                                 self.roi_train_cfg))
-        mask_feats = extract_roi_feats_fpn(feats, sampled.rois,
+        mask_feats = self._roi_extract(feats, sampled.rois,
                                            out_size=self.mask_size // 2)
         mask_logits = self.mask_head(mask_feats)
         targets = mask_targets_from_box_frame(
@@ -664,9 +674,9 @@ class PointRend(_TwoStageBase):
             reg_class_agnostic=False,
             target_stds=self.roi_train_cfg.target_stds,
             use_sigmoid_cls=False, cfg=self.roi_test_cfg,
-            roi_extractor=lambda f, r: extract_roi_feats_fpn(f, r))
+            roi_extractor=lambda f, r: self._roi_extract(f, r))
         det_boxes = out['dets'][..., :4]
-        mask_feats = extract_roi_feats_fpn(feats, det_boxes,
+        mask_feats = self._roi_extract(feats, det_boxes,
                                            out_size=self.mask_size // 2)
         mask_logits = self.mask_head(mask_feats)
         pts, idx = self._point_coords(mask_logits, out['labels'])

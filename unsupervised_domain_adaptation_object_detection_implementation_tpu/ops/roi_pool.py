@@ -93,3 +93,64 @@ def batched_roi_pool(feats: jnp.ndarray, rois: jnp.ndarray,
     return jax.vmap(
         lambda f, r, v: roi_pool(f, r, v, out_size, spatial_scale, samples)
     )(feats, rois, roi_valid)
+
+
+def deform_roi_pool_fpn(feats, rois, offsets, strides=(4, 8, 16, 32),
+                        out_size: int = 7, sampling_ratio: int = 2,
+                        gamma: float = 0.1, finest_scale: int = 56):
+    """Deformable RoI pooling over the FPN (reference mmcv
+    `deform_roi_pool.py:DeformRoIPoolPack` as used by
+    `configs/dcn/faster_rcnn_r50_fpn_dpool_1x_coco.py`): each output bin's
+    sample grid shifts by a learned offset (`offsets` (B, R, o, o, 2) in
+    bin units, scaled by gamma·roi_wh like the reference), then bilinear
+    taps average within the bin. Level routing matches
+    `batched_roi_align_fpn` (map_roi_levels). Point-gather formulation —
+    this is the opt-in parity row, not the hot default path.
+
+    Returns (B, R, o, o, C)."""
+    import jax
+    import numpy as np
+    from .point_sample import point_sample
+    from .roi_align import roi_levels
+
+    b, r = rois.shape[:2]
+    o, sr = out_size, sampling_ratio
+    lvl = roi_levels(rois, len(strides), finest_scale)
+
+    x1, y1, x2, y2 = (rois[..., i] for i in range(4))
+    rw = jnp.maximum(x2 - x1, 1e-4)
+    rh = jnp.maximum(y2 - y1, 1e-4)
+    # base sample grid: sr×sr taps per bin at bin-relative centers
+    gx = (np.arange(o * sr) + 0.5) / (o * sr)         # (o·sr,)
+    gy = (np.arange(o * sr) + 0.5) / (o * sr)
+    gxx, gyy = np.meshgrid(gx, gy, indexing='xy')     # (o·sr, o·sr)
+    gxx = jnp.asarray(gxx.reshape(-1), jnp.float32)   # (P,)
+    gyy = jnp.asarray(gyy.reshape(-1), jnp.float32)
+    # per-point bin index → offset lookup
+    bin_x = (np.arange(o * sr) // sr)
+    bxx, byy = np.meshgrid(bin_x, bin_x, indexing='xy')
+    bin_idx = jnp.asarray((byy * o + bxx).reshape(-1), jnp.int32)  # (P,)
+
+    off = offsets.reshape(b, r, o * o, 2)
+    off_x = jnp.take(off[..., 0], bin_idx, axis=2)     # (B, R, P)
+    off_y = jnp.take(off[..., 1], bin_idx, axis=2)
+    px = (x1[..., None] + gxx[None, None] * rw[..., None]
+          + gamma * rw[..., None] * off_x)
+    py = (y1[..., None] + gyy[None, None] * rh[..., None]
+          + gamma * rh[..., None] * off_y)
+
+    total = None
+    for i, s in enumerate(strides):
+        feat = feats[i]
+        h, w = feat.shape[1], feat.shape[2]
+        pts = jnp.stack([px / (s * w), py / (s * h)], -1)  # normalized
+        sampled = jax.vmap(  # over batch
+            lambda f, p: jax.vmap(point_sample, (None, 0))(f, p)
+        )(feat, pts)                                   # (B, R, P, C)
+        sampled = sampled * (lvl == i).astype(
+            sampled.dtype)[..., None, None]
+        total = sampled if total is None else total + sampled
+    c = feats[0].shape[-1]
+    total = total.reshape(b, r, o * sr, o * sr, c)
+    total = total.reshape(b, r, o, sr, o, sr, c).mean(axis=(3, 5))
+    return total
