@@ -1,15 +1,24 @@
-# DeepAlign-on-Swin-T at synth-shapes scale (VERDICT r3 item 3: first
-# measured efficacy number for the BASELINE target-config-#5 combination
-# — the deepalign_swin_t_c2f.py recipe shrunk onto the synthetic
-# clear→foggy benchmark). Swin-T trunk (stride-32 tap), DeepAlign heads,
-# same schedule as the DAF synth flagship.
+# DeepAlign-on-Swin-T at synth-shapes scale (VERDICT r3 item 3 / r4 item 1:
+# measured efficacy for the BASELINE target-config-#5 combination — the
+# deepalign_swin_t_c2f.py recipe shrunk onto the synthetic clear→foggy
+# benchmark).
+#
+# v2 recipe (r5): the v1 stride-32 tap measured AP50 0.0 — with 14-36 px
+# objects, stride-32 anchors (sizes 32/64/128 on a 4x6 grid) never reach
+# min_pos_iou=0.3, so the RPN got zero positive samples (loss_rpn_cls
+# plateaued at ~0.10 vs ~0.02 on healthy runs). v2 taps swin stage 2
+# (stride 16, 384 ch) via backbone.out_stride, mirroring the reference's
+# stride-16 DeepAlign layout (`resnet_da_deep.py:1110-1175`), and trains
+# the transformer trunk with AdamW (the SGD-on-ViT recipe underperforms —
+# same switch the PVT trunk row needed).
 _base_ = ['faster_rcnn_r18_synth_shapes.py']
 model = dict(
     type='DAFasterRCNN_Deep',
     backbone=dict(_delete_=True, type='DAResNet', trunk_type='swin',
-                  frozen_stages=-1),
-    rpn_head=dict(anchor_generator=dict(scales=[1, 2, 4], strides=[32])))
-optimizer = dict(lr=0.005)
+                  out_stride=16, frozen_stages=-1),
+    rpn_head=dict(anchor_generator=dict(scales=[1, 2, 4], strides=[16])))
+optimizer = dict(_delete_=True, type='AdamW', lr=0.0002,
+                 weight_decay=0.0001)
 optimizer_config = dict(grad_clip=dict(max_norm=35, norm_type=2))
 ema = dict(momentum=0.999)
 runner = dict(max_epochs=30)

@@ -260,6 +260,61 @@ def test_swin_backbone_and_deepalign_swin():
     assert 'globle_da_loss' in losses and 'patch_bottom_loss' in losses
 
 
+def test_mask_rcnn_c4_forward():
+    """Shared-res5 C4 assembly (reference
+    `configs/_base_/models/mask_rcnn_r50_caffe_c4.py:37-48`): RoI trunk is
+    res5 at stride 2 on 14×14 crops; mask branch reuses the shared feats."""
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.mask_rcnn_c4 import (
+        MaskRCNNC4)
+    model = MaskRCNNC4(**SMALL)
+    batch = demo_batch()
+    batch['gt_masks'] = jnp.ones((2, 10, 28, 28), jnp.float32)
+    variables = init_model(model, batch)
+    k = jax.random.PRNGKey(1)
+    losses, _ = model.apply(variables, batch, train=True,
+                            rngs={'sampler': k},
+                            mutable=['batch_stats'])
+    assert {'loss_rpn_cls', 'loss_rpn_bbox', 'loss_cls', 'loss_bbox',
+            'loss_mask'} <= set(losses)
+    for key, v in losses.items():
+        assert np.isfinite(float(v)), key
+    # res5 params live under the RoI head's shared trunk, not the backbone
+    assert 'shared_head' in variables['params']
+    assert 'stage3' not in str(variables['params']['backbone'].keys())
+    dets = model.apply(variables, batch, train=False)
+    assert dets['dets'].shape[-1] == 5
+    assert dets['masks'].shape[-2:] == (14, 14)
+
+
+def test_deepalign_swin_stride16_tap():
+    """featmap_stride=16 on the swin trunk must tap stage 2 (stride 16,
+    384 ch) so RoIAlign/anchors/tap stay aligned — the r5 fix for the
+    stride-32 recipe whose anchors never matched small objects
+    (synth_swin_deepalign.py v2)."""
+    from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.faster_rcnn import (
+        AnchorConfig)
+    det = DAFasterRCNN(
+        variant='deep', backbone_type='swin', featmap_stride=16,
+        anchor_cfg=AnchorConfig(stride=16), num_classes=3,
+        rpn_proposal_cfg=ProposalConfig(nms_pre=128, max_per_img=32,
+                                        nms_tile=128),
+        rpn_test_cfg=ProposalConfig(nms_pre=128, max_per_img=32,
+                                    nms_tile=128),
+        roi_train_cfg=RoITrainConfig(num_samples=16),
+        roi_test_cfg=RoITestConfig(max_per_img=8, nms_pre=128, nms_tile=128))
+    batch = demo_batch(h=64, w=64)
+    variables = init_model(det, batch)
+    # the tap must be the stride-16 stage: backbone params exist for
+    # out_norm2-normalised features feeding a 384-dim path, and the loss
+    # step runs finite end to end
+    k = jax.random.PRNGKey(1)
+    losses, _ = det.apply(variables, batch, train=True,
+                          rngs={'sampler': k, 'dropout': k},
+                          mutable=['batch_stats'])
+    for key, v_ in losses.items():
+        assert np.isfinite(float(v_)), key
+
+
 def test_fcos_forward():
     from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.fcos import FCOS
     from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.dense_heads.anchor_head import (

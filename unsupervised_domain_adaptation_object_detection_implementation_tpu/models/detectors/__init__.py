@@ -5,6 +5,7 @@ from .retinanet import RetinaNet, RetinaHead, RetinaSepBNHead
 from .faster_rcnn_fpn import FasterRCNNFPN, FPNRPNHead
 from .fcos import FCOS, FCOSHead
 from .mask_rcnn import MaskRCNN, paste_masks
+from .mask_rcnn_c4 import MaskRCNNC4, ResLayerSharedHead
 from .cascade_rcnn import CascadeRCNN, CascadeMaskRCNN
 from .yolov3 import YOLOV3, YOLOV3Neck
 from .atss import ATSS, ATSSHead
@@ -34,6 +35,7 @@ from .cornernet import CornerNet, CornerPredictor
 from .sabl_retina import SABLRetinaNet, SABLRetinaHead
 from .ld import LDGFocal
 from .rpn_detectors import (RPN, FastRCNN, GARetinaNet, GARPN, CascadeRPN,
+                            CRPNFasterRCNN,
                             GuidedAnchorHead)
 from .ld import LAD
 from .nasfcos import NASFCOS
@@ -58,6 +60,7 @@ __all__ = ['FasterRCNN', 'AnchorConfig', 'DAFasterRCNN', 'DALossWeights', 'CyDAF
            'SOLO', 'SOLOHead', 'YOLACT', 'YOLACTProtonet', 'CornerNet',
            'CornerPredictor', 'SABLRetinaNet', 'SABLRetinaHead', 'LDGFocal',
            'RPN', 'FastRCNN', 'GARetinaNet', 'GARPN', 'CascadeRPN',
+           'CRPNFasterRCNN',
            'GuidedAnchorHead', 'LAD', 'NASFCOS', 'QueryInst',
            'DynamicMaskHead', 'SCNet', 'GlobalContextHead', 'FeatRelayHead',
            'TridentFasterRCNN', 'PanopticFPN', 'PanopticFPNHead',

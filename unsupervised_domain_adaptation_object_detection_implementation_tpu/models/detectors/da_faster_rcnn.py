@@ -78,10 +78,21 @@ class DAFasterRCNN(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        # Swin trunk: pick the tap stage whose stride matches
+        # `featmap_stride` (swin stages run at strides 4/8/16/32, vs the
+        # DC5-style resnet trunk whose stage 3 is already stride 16). A
+        # stride-16 tap (stage 2) is the recipe that matches the
+        # reference's DeepAlign stride-16 layout
+        # (`resnet_da_deep.py:1110-1175`); stride-32 anchors on the tiny
+        # synth objects produce zero positive RPN samples.
+        if self.backbone_type == 'swin':
+            out_indices = (max(0, self.featmap_stride.bit_length() - 3),)
+        else:
+            out_indices = (3,)
         self.backbone = DAResNet(
             depth=self.backbone_depth, frozen_stages=self.frozen_stages,
             taps=VARIANT_TAPS[self.variant], trunk_type=self.backbone_type,
-            dtype=self.dtype)
+            out_indices=out_indices, dtype=self.dtype)
         self.rpn_head = RPNHead(
             feat_channels=2048, num_anchors=self.anchor_cfg.num_anchors,
             dtype=self.dtype)

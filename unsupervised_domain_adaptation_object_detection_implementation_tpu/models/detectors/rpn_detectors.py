@@ -503,10 +503,10 @@ class CascadeRPN(nn.Module):
         reg2 = flatten_level_preds(reg2_lv, 4)
         # refined anchors from stage 1 (per image)
         anchors1 = jax.vmap(lambda r: delta2bbox(anchors0, r))(reg1)
-        return reg1, cls2, reg2, anchors0, anchors1, centers
+        return reg1, cls2, reg2, anchors0, anchors1, centers, feats
 
     def loss(self, batch):
-        reg1, cls2, reg2, anchors0, anchors1, centers = self._stages(
+        reg1, cls2, reg2, anchors0, anchors1, centers, _ = self._stages(
             batch['image'])
 
         def per_image(reg1_i, cls2_i, reg2_i, anch1_i, gt, gtv):
@@ -547,7 +547,7 @@ class CascadeRPN(nn.Module):
                     loss_rpn_reg_s2=jnp.sum(l2) / denom)
 
     def predict(self, batch):
-        reg1, cls2, reg2, anchors0, anchors1, centers = self._stages(
+        reg1, cls2, reg2, anchors0, anchors1, centers, _ = self._stages(
             batch['image'])
         cfg = self.test_cfg
 
@@ -666,6 +666,121 @@ class GAFasterRCNN(GARPN):
             loc, cls, reg, anchors, batch['img_shape'], self.test_cfg)
         return roi_head_predict(
             self.bbox_head, feats, proposals, prop_valid,
+            batch['img_shape'], self.num_classes, featmap_stride=0,
+            reg_class_agnostic=False,
+            target_stds=self.roi_train_cfg.target_stds,
+            use_sigmoid_cls=self.roi_train_cfg.use_sigmoid_cls,
+            cfg=self.roi_test_cfg,
+            roi_extractor=extract_roi_feats_fpn)
+
+
+@DETECTORS.register_module()
+class CRPNFasterRCNN(CascadeRPN):
+    """CRPN-inside-Faster-R-CNN (reference
+    `configs/cascade_rpn/crpn_faster_rcnn_r50_caffe_fpn_1x_coco.py`): the
+    two-stage CascadeRPN replaces the plain RPN of Faster R-CNN — its
+    losses are weighted by `rpn_weight=0.7`, its refined stage-2 proposals
+    (NMS iou 0.8, max 300) feed a Shared2FC RoI head trained at
+    pos/neg/min IoU 0.65 with target_stds (0.04, 0.04, 0.08, 0.08)."""
+
+    num_classes: int = 80
+    rpn_weight: float = 0.7
+    rpn_proposal_cfg: ProposalConfig = ProposalConfig(
+        nms_pre=2048, max_per_img=300, nms_iou_threshold=0.8)
+    test_cfg: ProposalConfig = ProposalConfig(
+        nms_pre=2048, max_per_img=300, nms_iou_threshold=0.8)
+    roi_train_cfg: RoITrainConfig = RoITrainConfig(
+        pos_iou_thr=0.65, neg_iou_thr=0.65, min_pos_iou=0.65,
+        num_samples=256, use_sigmoid_cls=False,
+        target_stds=(0.04, 0.04, 0.08, 0.08))
+    roi_test_cfg: RoITestConfig = RoITestConfig(score_thr=1e-3)
+
+    def _bbox_head(self):
+        # compact-style: CascadeRPN has no setup(); name keeps the
+        # parameter tree stable across loss/predict traces
+        return Shared2FCBBoxHead(num_classes=self.num_classes,
+                                 in_channels=256, dtype=self.dtype,
+                                 name='bbox_head')
+
+    def _crpn_proposals(self, cls2, reg2, anchors1, img_shape,
+                        cfg: ProposalConfig):
+        """Stage-2 refined boxes → NMS → (B, P, 4) proposals + valid."""
+        def per_image(cls_i, reg_i, anch_i, shape_i):
+            k = min(cfg.nms_pre, cls_i.shape[0])
+            top, idx = jax.lax.top_k(cls_i, k)
+            boxes = delta2bbox(anch_i[idx], reg_i[idx])
+            boxes = clip_boxes(boxes, shape_i.astype(boxes.dtype))
+            kp, _ = nms(boxes, top, cfg.nms_iou_threshold, cfg.nms_tile)
+            kept = jnp.where(kp, top, NEG_INF)
+            p = min(cfg.max_per_img, k)
+            sc, sel = jax.lax.top_k(kept, p)
+            valid = sc > NEG_INF / 2
+            return boxes[sel] * valid[:, None], valid
+
+        return jax.vmap(per_image)(cls2, reg2, anchors1, img_shape)
+
+    def loss(self, batch):
+        reg1, cls2, reg2, anchors0, anchors1, centers, feats = self._stages(
+            batch['image'])
+
+        def per_image(reg1_i, cls2_i, reg2_i, anch1_i, gt, gtv):
+            a1 = center_region_assign(anchors0, gt, gtv, None,
+                                      pos_scale=0.2, neg_scale=0.2)
+            pos1 = a1.assigned_gt_inds > 0
+            m1 = jnp.clip(a1.assigned_gt_inds - 1, 0, gt.shape[0] - 1)
+            t1 = bbox2delta(anchors0, gt[m1])
+            l1 = smooth_l1_loss(reg1_i, t1,
+                                weight=pos1[:, None].astype(jnp.float32),
+                                beta=1.0, reduction='sum')
+            anch = jax.lax.stop_gradient(anch1_i)
+            a2 = max_iou_assign(anch, gt, gtv, None, pos_iou_thr=0.7,
+                                neg_iou_thr=0.7, min_pos_iou=0.3)
+            pos2 = a2.assigned_gt_inds > 0
+            neg2 = a2.assigned_gt_inds == 0
+            chosen = pos2 | neg2
+            cls_l = binary_cross_entropy(
+                cls2_i, pos2.astype(jnp.float32),
+                weight=chosen.astype(jnp.float32), reduction='sum')
+            m2 = jnp.clip(a2.assigned_gt_inds - 1, 0, gt.shape[0] - 1)
+            t2 = bbox2delta(anch, gt[m2])
+            l2 = smooth_l1_loss(reg2_i, t2,
+                                weight=pos2[:, None].astype(jnp.float32),
+                                beta=1.0, reduction='sum')
+            return (l1, cls_l, l2, jnp.sum(pos1) + jnp.sum(pos2),
+                    jnp.sum(chosen))
+
+        l1, cls_l, l2, npos, nchosen = jax.vmap(per_image)(
+            reg1, cls2, reg2, anchors1, batch['gt_bboxes'],
+            batch['gt_valid'])
+        denom = jnp.maximum(jnp.sum(npos), 1.0)
+        w = self.rpn_weight
+        losses = dict(
+            loss_rpn_reg_s1=w * jnp.sum(l1) / denom,
+            loss_rpn_cls=w * jnp.sum(cls_l)
+            / jnp.maximum(jnp.sum(nchosen), 1.0),
+            loss_rpn_reg_s2=w * jnp.sum(l2) / denom)
+
+        proposals, prop_valid = self._crpn_proposals(
+            jax.lax.stop_gradient(cls2), jax.lax.stop_gradient(reg2),
+            jax.lax.stop_gradient(anchors1), batch['img_shape'],
+            self.rpn_proposal_cfg)
+        sampled = sample_rois(proposals, prop_valid, batch['gt_bboxes'],
+                              batch['gt_labels'], batch['gt_valid'],
+                              self.make_rng('sampler'), self.num_classes,
+                              self.roi_train_cfg)
+        roi_feats = extract_roi_feats_fpn(feats, sampled.rois)
+        cls_s, reg_s, _ = self._bbox_head()(roi_feats)
+        losses.update(bbox_loss(cls_s, reg_s, sampled, self.num_classes,
+                                self.roi_train_cfg))
+        return losses
+
+    def predict(self, batch):
+        reg1, cls2, reg2, anchors0, anchors1, centers, feats = self._stages(
+            batch['image'])
+        proposals, prop_valid = self._crpn_proposals(
+            cls2, reg2, anchors1, batch['img_shape'], self.test_cfg)
+        return roi_head_predict(
+            self._bbox_head(), feats, proposals, prop_valid,
             batch['img_shape'], self.num_classes, featmap_stride=0,
             reg_class_agnostic=False,
             target_stds=self.roi_train_cfg.target_stds,
