@@ -154,18 +154,14 @@ def main():
     achieved = step_flops * iters / dt
     mfu = achieved / _peak_flops_per_sec(jax.devices()[0])
 
-    # second row (VERDICT r3 item 2): Faster R-CNN R50-FPN family step,
-    # folded into the same single JSON line as fpn_* keys
-    fpn = {}
-    if not os.environ.get('BENCH_SKIP_FPN'):
+    # family rows (VERDICT r3 item 2 / r4 item 3): Faster R-CNN R50-FPN
+    # and Mask R-CNN R50-FPN steps, folded into the same single JSON line
+    # as fpn_* / mask_* keys
+    def family_row(prefix, fmodel, fbatch):
         try:
-            from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.faster_rcnn_fpn import (  # noqa: E501
-                FasterRCNNFPN)
-            fmodel = FasterRCNNFPN(num_classes=8, backbone_depth=50,
-                                   dtype=jnp.bfloat16)
             fshapes = jax.eval_shape(
                 lambda: fmodel.init({'params': k, 'sampler': k,
-                                     'dropout': k}, batch, train=True))
+                                     'dropout': k}, fbatch, train=True))
             fvars = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), fshapes)
             fstate, ftx = create_train_state(fmodel, fvars,
@@ -173,30 +169,47 @@ def main():
                                              frozen_stages=1)
             fstep = jax.jit(make_train_step(fmodel, ftx),
                             donate_argnums=0)
-            fcost = fstep.lower(fstate, batch, rng).compile() \
+            fcost = fstep.lower(fstate, fbatch, rng).compile() \
                 .cost_analysis() or {}
             if isinstance(fcost, (list, tuple)):
                 fcost = fcost[0] if fcost else {}
             fflops = float(fcost.get('flops', 0.0))
-            fstate, fm = fstep(fstate, batch, rng)
+            fstate, fm = fstep(fstate, fbatch, rng)
             float(jax.device_get(fm['loss']))
             for _ in range(2):
-                fstate, fm = fstep(fstate, batch, rng)
+                fstate, fm = fstep(fstate, fbatch, rng)
             float(jax.device_get(fm['loss']))
             t0 = time.perf_counter()
             for _ in range(iters):
-                fstate, fm = fstep(fstate, batch, rng)
+                fstate, fm = fstep(fstate, fbatch, rng)
             float(jax.device_get(fm['loss']))
             fdt = time.perf_counter() - t0
-            fpn = {
-                'fpn_img_s': round(BATCH * iters / fdt, 3),
-                'fpn_step_tflops': round(fflops / 1e12, 3),
-                'fpn_mfu': round(fflops * iters / fdt
-                                 / _peak_flops_per_sec(jax.devices()[0]),
-                                 4),
+            return {
+                f'{prefix}_img_s': round(BATCH * iters / fdt, 3),
+                f'{prefix}_step_tflops': round(fflops / 1e12, 3),
+                f'{prefix}_mfu': round(
+                    fflops * iters / fdt
+                    / _peak_flops_per_sec(jax.devices()[0]), 4),
             }
         except Exception as e:  # noqa: BLE001 — never lose the main row
-            fpn = {'fpn_error': f'{type(e).__name__}: {str(e)[:80]}'}
+            return {f'{prefix}_error': f'{type(e).__name__}: {str(e)[:80]}'}
+
+    fpn = {}
+    if not os.environ.get('BENCH_SKIP_FPN'):
+        from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.faster_rcnn_fpn import (  # noqa: E501
+            FasterRCNNFPN)
+        fpn.update(family_row(
+            'fpn', FasterRCNNFPN(num_classes=8, backbone_depth=50,
+                                 dtype=jnp.bfloat16), batch))
+    if not os.environ.get('BENCH_SKIP_MASK'):
+        from unsupervised_domain_adaptation_object_detection_implementation_tpu.models.detectors.mask_rcnn import (  # noqa: E501
+            MaskRCNN)
+        g = batch['gt_bboxes'].shape[1]
+        mbatch = dict(batch,
+                      gt_masks=jnp.zeros((BATCH, g, 28, 28), jnp.float32))
+        fpn.update(family_row(
+            'mask', MaskRCNN(num_classes=8, backbone_depth=50,
+                             dtype=jnp.bfloat16), mbatch))
 
     baseline = get_baseline()
     print(json.dumps({

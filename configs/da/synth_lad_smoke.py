@@ -4,3 +4,4 @@
 # by tools/misc/make_lad_init.py and loaded via load_from).
 _base_ = ['synth_zoo_smoke.py']
 model = dict(type='LAD', teacher_depth=18)
+load_submodule = dict(teacher='/tmp/r5_runs/paa_teacher/ckpt_15')

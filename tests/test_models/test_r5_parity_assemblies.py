@@ -41,6 +41,10 @@ CASES = [
     ('nas_fcos_nashead', dict(type='NASFCOS', num_classes=3,
                               backbone_depth=18, head_type='nas',
                               frozen_stages=-1), {}),
+    # the rpn_r50_caffe_c4 spelling (reference
+    # configs/rpn/rpn_r50_caffe_c4_1x_coco.py)
+    ('rpn_c4', dict(type='RPN', backbone_depth=18, c4=True,
+                    frozen_stages=-1), {}),
 ]
 
 

@@ -20,7 +20,7 @@ import numpy as np
 from unsupervised_domain_adaptation_object_detection_implementation_tpu.ops.roi_align import (  # noqa: E501
     batched_roi_align_fpn)
 from unsupervised_domain_adaptation_object_detection_implementation_tpu.ops.roi_align_pallas import (  # noqa: E501
-    roi_align_fpn_fused)
+    roi_align_fpn_fused, roi_align_fpn_fused_v2)
 
 B, R, C = 8, 512, 256
 STRIDES = (4, 8, 16, 32)
@@ -74,6 +74,27 @@ def main():
                   'ms')
         except Exception as e:  # noqa: BLE001
             print(f'pallas {tag}: FAILED {type(e).__name__}: '
+                  f'{str(e)[:160]}')
+
+    # v2: the lane-legal redesign (r5) — per-j lane-sliced dots +
+    # pre-broadcast wy columns; expected to actually compile on Mosaic
+    for chunk, hb in [(64, 8), (32, 8), (64, 16), (128, 8), (16, 8)]:
+        tag = f'ch={chunk:<4} hb={hb:<3}'
+        try:
+            pal = jax.jit(lambda f, r, ch=chunk, h=hb: roi_align_fpn_fused_v2(
+                f, r, STRIDES, 7, 2, True, 56, ch, h))
+            print(f'pallas2 fwd {tag}:', round(timeit(pal, feats, rois), 3),
+                  'ms')
+
+            def ploss(f, r, ch=chunk, h=hb):
+                return jnp.sum(roi_align_fpn_fused_v2(
+                    f, r, STRIDES, 7, 2, True, 56, ch, h)
+                    .astype(jnp.float32))
+            pg = jax.jit(jax.grad(ploss))
+            print(f'pallas2 f+b {tag}:', round(timeit(pg, feats, rois), 3),
+                  'ms')
+        except Exception as e:  # noqa: BLE001
+            print(f'pallas2 {tag}: FAILED {type(e).__name__}: '
                   f'{str(e)[:160]}')
 
 

@@ -232,6 +232,29 @@ def train_detector(cfg, work_dir: str, resume_from: Optional[str] = None,
                                batch_stats=restored.batch_stats)
         print(f'[train] loaded weights from {load_from}')
 
+    # `load_submodule = dict(teacher='/path/to/donor_ckpt')` config block:
+    # graft a donor checkpoint's params under one submodule key — the
+    # reference's pretrained-teacher loading for distillation rows
+    # (configs/lad/* `load_pretrained_teacher`, configs/ld/* teacher_ckpt).
+    for sub_key, donor_path in (cfg.get('load_submodule') or {}).items():
+        donor = load_checkpoint(donor_path)     # raw dict tree
+        donor_params = donor['params'] if 'params' in donor else donor
+        params = dict(state.params)
+        tmpl = params.get(sub_key)
+        if tmpl is not None:
+            t_leaves = len(jax.tree_util.tree_leaves(tmpl))
+            d_leaves = len(jax.tree_util.tree_leaves(donor_params))
+            if t_leaves != d_leaves:
+                raise ValueError(
+                    f'load_submodule[{sub_key}]: donor has {d_leaves} '
+                    f'param leaves, submodule expects {t_leaves}')
+        import jax.numpy as _jnp
+        params[sub_key] = jax.tree_util.tree_map(_jnp.asarray, donor_params)
+        state = state._replace(params=type(state.params)(params)
+                               if not isinstance(state.params, dict)
+                               else params)
+        print(f'[train] grafted {donor_path} into params[{sub_key!r}]')
+
     step_fn = jax.jit(step_builder(), donate_argnums=0)
 
     def state_to_host(s):

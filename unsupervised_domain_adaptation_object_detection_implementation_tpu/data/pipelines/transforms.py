@@ -310,7 +310,8 @@ class PackDetInputs:
     """
 
     def __init__(self, max_gt: int = 100, with_mask: bool = False,
-                 with_full_masks: bool = False, full_mask_stride: int = 4):
+                 with_full_masks: bool = False, full_mask_stride: int = 4,
+                 with_semantic: bool = False, num_stuff: int = 1):
         self.max_gt = max_gt
         self.with_mask = with_mask
         # `gt_masks_full`: per-instance FULL-IMAGE rasters at 1/stride
@@ -318,6 +319,13 @@ class PackDetInputs:
         # rasters by pasting each into its (resized) box
         self.with_full_masks = with_full_masks
         self.full_mask_stride = full_mask_stride
+        # `gt_semantic_seg` derived from the instance rasters when the
+        # dataset carries no stuff maps (the synth panoptic benchmark:
+        # one background stuff class, things folded to id `num_stuff` —
+        # the PanopticFPN semantic-head target convention, reference
+        # `panoptic_fpn_head.py _set_things_to_void`)
+        self.with_semantic = with_semantic
+        self.num_stuff = num_stuff
 
     def __call__(self, results):
         img = results['img'].astype(np.float32)
@@ -360,6 +368,16 @@ class PackDetInputs:
                     full[gi, ys0:ye, xs0:xe] = r[ys0 - ys:ye - ys,
                                                 xs0 - xs:xe - xs]
             extra['gt_masks_full'] = full
+            if self.with_semantic:
+                # stuff id 0 = background everywhere no thing lives;
+                # thing pixels fold to id num_stuff
+                sem = np.zeros(full.shape[1:], np.int32)
+                if n:
+                    sem[full[:n].any(axis=0)] = self.num_stuff
+                extra['gt_semantic_seg'] = sem
+        if self.with_semantic and not self.with_full_masks:
+            raise ValueError('with_semantic requires with_full_masks '
+                             '(semantic maps derive from instance rasters)')
         return dict(
             **extra,
             image=img,

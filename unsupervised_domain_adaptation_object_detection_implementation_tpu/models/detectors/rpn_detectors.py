@@ -74,12 +74,25 @@ class RPN(nn.Module):
     backbone_depth: int = 50
     backbone_cfg: Any = None  # trunk swap: frozen dict cfg (backbones/build.py)
     frozen_stages: int = 1
+    # c4=True → the reference's `rpn_r50_caffe_c4_1x` spelling: single
+    # stride-16 C4 level (3-stage trunk) with the dense 15-anchor grid
+    # instead of FPN levels (reference configs/rpn/rpn_r50_caffe_c4_1x_coco.py)
+    c4: bool = False
     rpn_strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
     rpn_train_cfg: RPNTrainConfig = RPNTrainConfig()
     test_cfg: ProposalConfig = ProposalConfig(nms_pre=4096, max_per_img=1000)
     dtype: Any = jnp.float32
 
     def setup(self):
+        if self.c4:
+            from ..dense_heads.rpn_head import RPNHead
+            self.backbone = build_trunk(
+                self.backbone_cfg, depth=self.backbone_depth, num_stages=3,
+                strides=(1, 2, 2), dilations=(1, 1, 1), out_indices=(2,),
+                frozen_stages=self.frozen_stages, dtype=self.dtype)
+            self.rpn_head = RPNHead(feat_channels=1024, num_anchors=15,
+                                    dtype=self.dtype)
+            return
         self.backbone = build_trunk(
             self.backbone_cfg, depth=self.backbone_depth, strides=(1, 2, 2, 2),
             dilations=(1, 1, 1, 1), out_indices=(0, 1, 2, 3),
@@ -89,6 +102,14 @@ class RPN(nn.Module):
         self.rpn_head = FPNRPNHead(dtype=self.dtype)
 
     def _flat(self, image):
+        if self.c4:
+            from .faster_rcnn import AnchorConfig
+            (feat,) = self.backbone(image.astype(self.dtype))
+            cls4, reg4 = self.rpn_head(feat)       # (B, H, W, A[·4])
+            b = cls4.shape[0]
+            anchors = jnp.asarray(AnchorConfig().grid_anchors(
+                feat.shape[-3], feat.shape[-2]))
+            return (cls4.reshape(b, -1), reg4.reshape(b, -1, 4), anchors)
         feats = self.neck(self.backbone(image.astype(self.dtype)))
         cls_lv, reg_lv = self.rpn_head(feats)
         sizes = [(f.shape[-3], f.shape[-2]) for f in feats]

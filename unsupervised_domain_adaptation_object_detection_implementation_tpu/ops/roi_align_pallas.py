@@ -955,3 +955,225 @@ def roi_align_fpn_fused(feats, rois, strides=(4, 8, 16, 32), out_size=7,
 roi_align_fpn_fused.defvjp(
     lambda feats, rois, *a: _fpn_fused_fwd(tuple(feats), rois, *a),
     _fpn_fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# FPN fused RoIAlign v2 — the lane-legal redesign (r5).
+#
+# v1's kernels die in Mosaic on the (cr, o·hb) → (cr, o, hb) shape cast:
+# o·hb = 56 lanes cannot split into (7, 8) (minor not 128-aligned). v2
+# removes EVERY in-kernel lane split:
+# - the x-interp dot runs per h-row j against a 256-aligned lane slice of
+#   the feature panel: (cr·o, W_p) @ (W_p, C) — 8 dots/cell instead of 1,
+#   same total FLOPs;
+# - the y-interp is an unrolled (oy, j) loop of column-scaled FMAs where
+#   the wy weights arrive PRE-BROADCAST over ox as (o, cr·o, hb) blocks
+#   (array layout (B, nch, n_hb, o, cr·o, hb) — last two dims are full
+#   array dims, so the block spec is trivially legal);
+# - the accumulator holds (o, cr·o, C) f32 (leading oy index; trailing two
+#   dims tile-aligned) and flushes straight into an out block of the same
+#   shape — the (r, oy, ox) disentangling happens outside the kernel.
+# All operands the VPU/MXU touch are 2-D with ≥128-aligned (or full-array)
+# lane extents. Cost vs v1: none in FLOPs; +o× wy HBM traffic (~1% of the
+# feature traffic).
+# ---------------------------------------------------------------------------
+
+
+def _fpn2_fwd_kernel(ftp_ref, wx_ref, wyb_ref, out_ref, acc_ref, *,
+                     cr, o, hb, c):
+    """Blocks: ftp (1, W_p, hb·C) · wx (1, 1, cr·o, W_p) ·
+    wyb (1, 1, 1, o, cr·o, hb) → out (1, 1, o, cr·o, C);
+    acc (o, cr·o, C) f32."""
+    hbi = pl.program_id(2)
+
+    @pl.when(hbi == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    wx = wx_ref[0, 0]
+    for j in range(hb):
+        ftj = ftp_ref[0][:, j * c:(j + 1) * c]          # (W_p, C)
+        tj = jnp.dot(wx, ftj, preferred_element_type=jnp.float32)
+        for oy in range(o):
+            wcol = wyb_ref[0, 0, 0, oy][:, j:j + 1]     # (cr·o, 1)
+            acc_ref[oy] = acc_ref[oy] + tj * wcol.astype(jnp.float32)
+
+    @pl.when(hbi == pl.num_programs(2) - 1)
+    def _():
+        out_ref[0, 0] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _fpn2_bwd_kernel(g_ref, wx_ref, wyb_ref, gf_ref, acc_ref, *,
+                     cr, o, hb, c):
+    """Blocks: g (1, 1, o, cr·o, C) · wx (1, 1, cr·o, W_p) ·
+    wyb (1, 1, 1, o, cr·o, hb) → gf (1, 1, W_p, hb·C);
+    acc (W_p, hb·C) f32."""
+    rci = pl.program_id(2)
+
+    @pl.when(rci == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    wx = wx_ref[0, 0]
+    for j in range(hb):
+        u = None
+        for oy in range(o):
+            g_oy = g_ref[0, 0, oy].astype(jnp.float32)  # (cr·o, C)
+            wcol = wyb_ref[0, 0, 0, oy][:, j:j + 1].astype(jnp.float32)
+            term = g_oy * wcol
+            u = term if u is None else u + term
+        d = jax.lax.dot_general(wx, u.astype(wx.dtype),
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc_ref[:, j * c:(j + 1) * c] = acc_ref[:, j * c:(j + 1) * c] + d
+
+    @pl.when(rci == pl.num_programs(2) - 1)
+    def _():
+        gf_ref[0, 0] = acc_ref[:].astype(gf_ref.dtype)
+
+
+def _fpn2_level_weights(rois, lvl, i, stride, out_size, sampling_ratio,
+                        aligned, h, w, hp, wp, cr, hb, dtype):
+    """wx (B, nch, cr·o, W_p) as in v1; wy pre-broadcast over ox:
+    (B, nch, n_hb, o, cr·o, hb)."""
+    from .roi_align import _roi_weights
+    b, n = rois.shape[:2]
+    o = out_size
+    wx, wy = jax.vmap(lambda r: _roi_weights(
+        r, 1.0 / stride, out_size, sampling_ratio, aligned, h, w))(rois)
+    wx = wx * (lvl == i).astype(wx.dtype)[..., None, None]
+    pad_n = (-n) % cr
+    wx = jnp.pad(wx, ((0, 0), (0, pad_n), (0, 0), (0, wp - w)))
+    wy = jnp.pad(wy, ((0, 0), (0, pad_n), (0, 0), (0, hp - h)))
+    nch = (n + pad_n) // cr
+    wx = wx.reshape(b, nch, cr * o, wp).astype(dtype)
+    # (B, R, o, H_p) → (B, nch, cr, o, n_hb, hb) → broadcast ox →
+    # (B, nch, n_hb, o, cr·o, hb)
+    wy = wy.reshape(b, nch, cr, o, hp // hb, hb)
+    wy = wy.transpose(0, 1, 4, 3, 2, 5)              # (B,nch,n_hb,o,cr,hb)
+    wy = jnp.broadcast_to(wy[:, :, :, :, :, None, :],
+                          (b, nch, hp // hb, o, cr, o, hb))
+    wy = wy.reshape(b, nch, hp // hb, o, cr * o, hb).astype(dtype)
+    return wx, wy, nch
+
+
+def _fpn2_fused_fwd(feats, rois, strides, out_size, sampling_ratio, aligned,
+                    finest_scale, roi_chunk, h_block, interpret=False):
+    from .roi_align import roi_levels
+    b, _, _, c = feats[0].shape
+    n = rois.shape[1]
+    o = out_size
+    cr = min(roi_chunk if o <= 7 else max(8, roi_chunk // 4), n)
+    hb = h_block
+    lvl = roi_levels(rois, len(strides), finest_scale)
+    total = None
+    for i, (s, feat) in enumerate(zip(strides, feats)):
+        h, w = feat.shape[1], feat.shape[2]
+        hp = h + (-h) % hb
+        wp = w + (-w) % 128
+        wx, wyb, nch = _fpn2_level_weights(
+            rois, lvl, i, s, o, sampling_ratio, aligned, h, w, hp, wp, cr,
+            hb, feat.dtype)
+        ftp = jnp.pad(feat, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        # (B, H_p, W_p, C) → (B, n_hb, W_p, hb·C): one panel per h-block
+        ftp = ftp.reshape(b, hp // hb, hb, wp, c).transpose(0, 1, 3, 2, 4)
+        ftp = ftp.reshape(b * (hp // hb), wp, hb * c)
+        nhb = hp // hb
+        out = pl.pallas_call(
+            partial(_fpn2_fwd_kernel, cr=cr, o=o, hb=hb, c=c),
+            grid=(b, nch, nhb),
+            in_specs=[
+                pl.BlockSpec((1, wp, hb * c),
+                             lambda bi, ri, hi: (bi * nhb + hi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cr * o, wp),
+                             lambda bi, ri, hi: (bi, ri, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, o, cr * o, hb),
+                             lambda bi, ri, hi: (bi, ri, hi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, o, cr * o, c),
+                                   lambda bi, ri, hi: (bi, ri, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, nch, o, cr * o, c),
+                                           feat.dtype),
+            scratch_shapes=[pltpu.VMEM((o, cr * o, c), jnp.float32)],
+            interpret=interpret,
+        )(ftp, wx, wyb)
+        # (B, nch, oy, (r, ox), C) → (B, R, oy, ox, C)
+        out = out.reshape(b, nch, o, cr, o, c).transpose(0, 1, 3, 2, 4, 5)
+        out = out.reshape(b, nch * cr, o, o, c)[:, :n]
+        total = out if total is None else total + out
+    shape_tokens = tuple(jnp.zeros(f.shape[1:3], f.dtype) for f in feats)
+    return total, (rois, shape_tokens)
+
+
+def _fpn2_fused_bwd(strides, out_size, sampling_ratio, aligned, finest_scale,
+                    roi_chunk, h_block, interpret, res, g):
+    from .roi_align import roi_levels
+    rois, shape_tokens = res
+    b, n = rois.shape[:2]
+    c = g.shape[-1]
+    o = out_size
+    cr = min(roi_chunk if o <= 7 else max(8, roi_chunk // 4), n)
+    hb = h_block
+    lvl = roi_levels(rois, len(strides), finest_scale)
+    pad_n = (-n) % cr
+    gp = jnp.pad(g, ((0, 0), (0, pad_n)) + ((0, 0),) * 3)
+    nch = (n + pad_n) // cr
+    # (B, R_p, oy, ox, C) → (B, nch, oy, (r, ox), C)
+    g2 = gp.reshape(b, nch, cr, o, o, c).transpose(0, 1, 3, 2, 4, 5)
+    g2 = g2.reshape(b, nch, o, cr * o, c)
+    grads = []
+    for i, (s, tok) in enumerate(zip(strides, shape_tokens)):
+        h, w = tok.shape
+        dtype = tok.dtype
+        hp = h + (-h) % hb
+        wp = w + (-w) % 128
+        wx, wyb, _ = _fpn2_level_weights(
+            rois, lvl, i, s, o, sampling_ratio, aligned, h, w, hp, wp, cr,
+            hb, dtype)
+        nhb = hp // hb
+        gfp = pl.pallas_call(
+            partial(_fpn2_bwd_kernel, cr=cr, o=o, hb=hb, c=c),
+            grid=(b, nhb, nch),
+            in_specs=[
+                pl.BlockSpec((1, 1, o, cr * o, c),
+                             lambda bi, hi, ri: (bi, ri, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cr * o, wp),
+                             lambda bi, hi, ri: (bi, ri, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, o, cr * o, hb),
+                             lambda bi, hi, ri: (bi, ri, hi, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, wp, hb * c),
+                                   lambda bi, hi, ri: (bi, hi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, nhb, wp, hb * c), dtype),
+            scratch_shapes=[pltpu.VMEM((wp, hb * c), jnp.float32)],
+            interpret=interpret,
+        )(g2.astype(dtype), wx, wyb)
+        gf = gfp.reshape(b, nhb, wp, hb, c).transpose(0, 1, 3, 2, 4)
+        gf = gf.reshape(b, hp, wp, c)[:, :h, :w]
+        grads.append(gf)
+    return tuple(grads), jnp.zeros_like(rois)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def roi_align_fpn_fused_v2(feats, rois, strides=(4, 8, 16, 32), out_size=7,
+                           sampling_ratio=2, aligned=True, finest_scale=56,
+                           roi_chunk=64, h_block=8, interpret=False):
+    """Lane-legal fused multi-level RoIAlign (see module comment above).
+    Numerics match `ops.roi_align.batched_roi_align_fpn`."""
+    out, _ = _fpn2_fused_fwd(tuple(feats), rois, strides, out_size,
+                             sampling_ratio, aligned, finest_scale,
+                             roi_chunk, h_block, interpret)
+    return out
+
+
+roi_align_fpn_fused_v2.defvjp(
+    lambda feats, rois, *a: _fpn2_fused_fwd(tuple(feats), rois, *a),
+    _fpn2_fused_bwd)
