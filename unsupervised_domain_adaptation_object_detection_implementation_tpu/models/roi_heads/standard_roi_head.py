@@ -249,7 +249,21 @@ def extract_roi_feats_fpn(feats, rois: jnp.ndarray,
     the level one-hot folded into the x weights. Delegates to
     `ops/roi_align.py:batched_roi_align_fpn` (pre-transposed x-interp rhs;
     see its docstring for the measured design trade-offs).
+
+    `UDAOD_FPN_ROI_BACKEND=pallas` switches to the fused lane-legal Pallas
+    kernel (`roi_align_fpn_fused_v2`, r5) — the HBM-intermediate-free path;
+    default stays the XLA separable form (see docs/RESULTS.md r5 kernel
+    closure for the measured tradeoff).
     """
+    import os
+    if os.environ.get('UDAOD_FPN_ROI_BACKEND') == 'pallas':
+        from ...ops.roi_align_pallas import roi_align_fpn_fused_v2
+        # (roi_chunk=64, h_block=16): the measured-best legal tile
+        # (v5e sweep in docs/RESULTS.md r5 kernel closure; larger blocks
+        # exceed VMEM and fail remote-compile)
+        return roi_align_fpn_fused_v2(tuple(feats), rois, tuple(strides),
+                                      out_size, sampling_ratio, True,
+                                      finest_scale, 64, 16)
     return batched_roi_align_fpn(feats, rois, strides, out_size,
                                  sampling_ratio, finest_scale=finest_scale)
 

@@ -935,6 +935,8 @@ def _fpn_fused_bwd(strides, out_size, sampling_ratio, aligned, finest_scale,
         gf = gfp.reshape(b, hp // hb, wp, hb, c).transpose(0, 1, 3, 2, 4)
         gf = gf.reshape(b, hp, wp, c)[:, :h, :w]
         grads.append(gf)
+    for tok in shape_tokens[len(strides):]:   # unused FPN levels (see v2)
+        grads.append(jnp.zeros((b,) + tok.shape + (c,), tok.dtype))
     return tuple(grads), jnp.zeros_like(rois)
 
 
@@ -1159,6 +1161,12 @@ def _fpn2_fused_bwd(strides, out_size, sampling_ratio, aligned, finest_scale,
         gf = gfp.reshape(b, nhb, wp, hb, c).transpose(0, 1, 3, 2, 4)
         gf = gf.reshape(b, hp, wp, c)[:, :h, :w]
         grads.append(gf)
+    # FPN necks emit num_outs=5 levels but the RoI extractor consumes
+    # len(strides)=4 (reference SingleRoIExtractor featmap_strides);
+    # unused levels get zero cotangents so the bwd container matches the
+    # primal feats tuple
+    for tok in shape_tokens[len(strides):]:
+        grads.append(jnp.zeros((b,) + tok.shape + (c,), tok.dtype))
     return tuple(grads), jnp.zeros_like(rois)
 
 
