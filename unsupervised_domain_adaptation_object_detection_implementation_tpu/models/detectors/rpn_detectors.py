@@ -481,28 +481,36 @@ class CascadeRPN(nn.Module):
     test_cfg: ProposalConfig = ProposalConfig(nms_pre=4096, max_per_img=1000)
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def _stages(self, image):
-        """Backbone→FPN→both RPN stages; returns flat preds + anchors."""
-        backbone = build_trunk(
+    def setup(self):
+        # setup-style (not compact) so two-stage subclasses can extend the
+        # module set (CRPNFasterRCNN adds the RoI head)
+        self.backbone = build_trunk(
             self.backbone_cfg, depth=self.backbone_depth,
             strides=(1, 2, 2, 2), dilations=(1, 1, 1, 1),
             out_indices=(0, 1, 2, 3), frozen_stages=self.frozen_stages,
-            dtype=self.dtype, name='backbone')
-        neck = FPN(in_channels=backbone.stage_channels(),
-                   out_channels=256, num_outs=5, dtype=self.dtype,
-                   name='neck')
-        feats = neck(backbone(image.astype(self.dtype)))
-        s1_conv = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2,
-                          dtype=self.dtype, name='s1_conv')
-        s1_reg = nn.Conv(4, (1, 1), dtype=self.dtype, name='s1_reg')
-        off_proj = nn.Conv(2 * 9, (1, 1), use_bias=False,
-                           kernel_init=nn.initializers.zeros,
-                           dtype=self.dtype, name='s2_offset')
-        s2_adapt_w = self.param('s2_adapt_w', nn.initializers.he_normal(),
-                                (3, 3, 256, 256), self.dtype)
-        s2_cls = nn.Conv(1, (1, 1), dtype=self.dtype, name='s2_cls')
-        s2_reg = nn.Conv(4, (1, 1), dtype=self.dtype, name='s2_reg')
+            dtype=self.dtype)
+        self.neck = FPN(in_channels=self.backbone.stage_channels(),
+                        out_channels=256, num_outs=5, dtype=self.dtype)
+        self.s1_conv = nn.Conv(256, (3, 3), padding=[(1, 1)] * 2,
+                               dtype=self.dtype)
+        self.s1_reg = nn.Conv(4, (1, 1), dtype=self.dtype)
+        # attribute named s2_offset so the param tree keeps the old
+        # compact-era naming
+        self.s2_offset = nn.Conv(2 * 9, (1, 1), use_bias=False,
+                                 kernel_init=nn.initializers.zeros,
+                                 dtype=self.dtype)
+        self.s2_adapt_w = self.param('s2_adapt_w',
+                                     nn.initializers.he_normal(),
+                                     (3, 3, 256, 256), self.dtype)
+        self.s2_cls = nn.Conv(1, (1, 1), dtype=self.dtype)
+        self.s2_reg = nn.Conv(4, (1, 1), dtype=self.dtype)
+
+    def _stages(self, image):
+        """Backbone→FPN→both RPN stages; returns flat preds + anchors."""
+        feats = self.neck(self.backbone(image.astype(self.dtype)))
+        s1_conv, s1_reg = self.s1_conv, self.s1_reg
+        off_proj, s2_adapt_w = self.s2_offset, self.s2_adapt_w
+        s2_cls, s2_reg = self.s2_cls, self.s2_reg
 
         sizes = [(f.shape[-3], f.shape[-2]) for f in feats]
         centers, strides_v, levels = _fpn_grid(self.strides, sizes)
@@ -716,12 +724,14 @@ class CRPNFasterRCNN(CascadeRPN):
         target_stds=(0.04, 0.04, 0.08, 0.08))
     roi_test_cfg: RoITestConfig = RoITestConfig(score_thr=1e-3)
 
+    def setup(self):
+        super().setup()
+        self.bbox_head = Shared2FCBBoxHead(num_classes=self.num_classes,
+                                           in_channels=256,
+                                           dtype=self.dtype)
+
     def _bbox_head(self):
-        # compact-style: CascadeRPN has no setup(); name keeps the
-        # parameter tree stable across loss/predict traces
-        return Shared2FCBBoxHead(num_classes=self.num_classes,
-                                 in_channels=256, dtype=self.dtype,
-                                 name='bbox_head')
+        return self.bbox_head
 
     def _crpn_proposals(self, cls2, reg2, anchors1, img_shape,
                         cfg: ProposalConfig):
