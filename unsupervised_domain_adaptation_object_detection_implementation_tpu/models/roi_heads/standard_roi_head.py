@@ -262,9 +262,14 @@ def extract_roi_feats_fpn(feats, rois: jnp.ndarray,
     backend = os.environ.get('UDAOD_FPN_ROI_BACKEND')
     if backend is None:
         import jax
-        # default pallas only for the hardware-verified bbox shape
-        # (o=7); the o=14 mask path stays XLA until measured
-        backend = 'pallas' if (out_size <= 7 and jax.default_backend()
+        # default pallas only for the hardware-verified envelope: bbox
+        # shape (o=7) AND bf16 feats — f32 doubles the kernel's result
+        # footprint past the 16 MB scoped-vmem limit (measured stack-OOM
+        # at synth shapes: f32 out 25.7 MB vs bf16 bench 12.8 MB); the
+        # o=14 mask path stays XLA until measured
+        backend = 'pallas' if (out_size <= 7
+                               and feats[0].dtype == jnp.bfloat16
+                               and jax.default_backend()
                                not in ('cpu',)) else 'xla'
     if backend == 'pallas':
         from ...ops.roi_align_pallas import roi_align_fpn_fused_v2
