@@ -978,6 +978,13 @@ roi_align_fpn_fused.defvjp(
 # All operands the VPU/MXU touch are 2-D with ≥128-aligned (or full-array)
 # lane extents. Cost vs v1: none in FLOPs; +o× wy HBM traffic (~1% of the
 # feature traffic).
+#
+# Known limitation (measured r5): with f32 inputs at ≥512 rois the
+# compiler stack-allocates the ENTIRE result in scoped vmem
+# (25.7 MB > the 16 MB limit → remote-compile OOM); bf16 results fit
+# (12.8 MB). The production default (`extract_roi_feats_fpn`) therefore
+# engages this kernel only for bf16 feats; f32 callers keep the XLA
+# separable path.
 # ---------------------------------------------------------------------------
 
 
